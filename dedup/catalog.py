@@ -1,0 +1,183 @@
+"""Checkpointed stage tables with per-partition lineage + atomic commit.
+
+On a real cluster these are Iceberg tables (atomic snapshot commits give us
+resume-safety for free). In this sandbox no Iceberg runtime jar ships with
+pyspark, so the same call-site API is backed by a parquet shim:
+
+  * write goes to ``<table>.__staging__`` then a single ``os.rename`` to
+    ``<table>`` -- the commit point (SURVEY.md par.7 "Resume semantics").
+  * a ``_MANIFEST.json`` inside the committed directory records run_id,
+    stage name, config fingerprint, schema, total rows, and per-partition
+    row counts (the lineage the north_rule asks for).
+  * ``exists()`` only trusts a directory containing a valid manifest with a
+    matching config fingerprint -- a torn write is invisible to resume.
+
+The reference has no persistence between stages at all (everything lives in
+one process, /root/reference/doppelspeller/predict.py:274-321); checkpointed
+lineage is our scale/resumability extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@dataclass
+class StageResult:
+    table: str
+    path: str
+    rows: int
+    partitions: int
+    seconds: float
+    resumed: bool
+
+
+class CheckpointCatalog:
+    """Stage-table catalog rooted at a warehouse directory.
+
+    API intentionally mirrors Iceberg call sites: ``write(name, df)`` /
+    ``table(name)`` / ``exists(name)``; swapping in a real Iceberg catalog
+    changes only this class.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        run_id: str | None = None,
+        config_fingerprint: str = "",
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.config_fingerprint = config_fingerprint
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _staging(self, name: str) -> str:
+        return os.path.join(self.warehouse, name + ".__staging__")
+
+    # -- reads ---------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        mf = self._read_manifest(name)
+        if mf is None:
+            return False
+        if self.config_fingerprint and mf.get("config_fingerprint") != self.config_fingerprint:
+            return False
+        return True
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def manifest(self, name: str) -> dict:
+        mf = self._read_manifest(name)
+        if mf is None:
+            raise FileNotFoundError(f"no committed manifest for stage table {name!r}")
+        return mf
+
+    def _read_manifest(self, name: str) -> dict | None:
+        p = os.path.join(self.path(name), MANIFEST_NAME)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    # -- writes --------------------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        stage: str | None = None,
+        partition_cols: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> StageResult:
+        """Materialize ``df`` as a committed stage table (idempotent commit:
+        staging dir + rename). Returns lineage stats."""
+        t0 = time.time()
+        staging, final = self._staging(name), self.path(name)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        writer = df.write.mode("overwrite")
+        if num_files:
+            df = df.coalesce(num_files)
+            writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+
+        # per-partition lineage: row counts keyed by output file
+        back = self.spark.read.parquet(staging)
+        per_file = (
+            back.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        partition_rows = {
+            os.path.basename(r["file"].split("?")[0]): r["count"] for r in per_file
+        }
+        rows = sum(partition_rows.values())
+        manifest = {
+            "table": name,
+            "stage": stage or name,
+            "run_id": self.run_id,
+            "config_fingerprint": self.config_fingerprint,
+            "schema": back.schema.jsonValue(),
+            "rows": rows,
+            "partition_rows": partition_rows,
+            "committed_at_unix": time.time(),
+        }
+        with open(os.path.join(staging, MANIFEST_NAME), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)  # commit point
+        return StageResult(
+            table=name,
+            path=final,
+            rows=rows,
+            partitions=len(partition_rows),
+            seconds=time.time() - t0,
+            resumed=False,
+        )
+
+    def write_or_resume(
+        self,
+        name: str,
+        df_fn,
+        stage: str | None = None,
+        **kw,
+    ) -> tuple[DataFrame, StageResult]:
+        """Resume point: if a committed, config-matching table exists, skip
+        recomputation entirely (``df_fn`` is never invoked)."""
+        if self.exists(name):
+            mf = self.manifest(name)
+            res = StageResult(
+                table=name,
+                path=self.path(name),
+                rows=mf["rows"],
+                partitions=len(mf["partition_rows"]),
+                seconds=0.0,
+                resumed=True,
+            )
+            return self.table(name), res
+        res = self.write(name, df_fn(), stage=stage, **kw)
+        return self.table(name), res
+
+    def drop(self, name: str) -> None:
+        for p in (self.path(name), self._staging(name)):
+            if os.path.exists(p):
+                shutil.rmtree(p)

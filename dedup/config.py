@@ -1,0 +1,102 @@
+"""All tunable thresholds and scale knobs in one frozen dataclass.
+
+Mirrors the role of the reference's ``settings.py``
+(/root/reference/doppelspeller/settings.py:14-77): every semantic constant
+(shingle size, Levenshtein threshold, top-k) lives here so parity with the
+reference config is a single object, and scale knobs (partitions, band
+caps, salt counts) sit next to them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+# Mersenne prime 2^61 - 1: modulus for the MinHash permutation family.
+MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+MAX_HASH = np.uint64((1 << 61) - 2)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (reference: N_GRAMS=3, settings.py:15) ---
+    k_shingle: int = 3
+    # normalized text truncation. The reference caps TITLES at 255 chars
+    # (MAX_CHARACTERS_ALLOWED_IN_THE_TITLE, settings.py:67-68 -- a uint8
+    # encoding artifact); title-parity mode (operators/match.py) pins 255
+    # via TITLE_MAX_CHARS. Whole conversations need a far larger cap.
+    max_chars: int = 32768
+
+    # --- MinHash / LSH ---
+    num_perm: int = 128          # signature length
+    lsh_bands: int = 32          # b bands ...
+    lsh_rows: int = 4            # ... of r rows each; b*r == num_perm
+    minhash_seed: int = 709     # deterministic permutation table seed
+
+    # --- verification thresholds ---
+    # Jaccard threshold a candidate pair must clear on exact shingle-set
+    # Jaccard to count as a duplicate.
+    jaccard_threshold: float = 0.8
+    # Levenshtein-ratio threshold (reference: LEVENSHTEIN_RATIO_THRESHOLD=94,
+    # settings.py:75; gate semantics predict.py:147-156).
+    lev_threshold: int = 94
+    # SimHash hamming-distance threshold for the containment/long-span path.
+    simhash_bits: int = 64
+    simhash_hamming_threshold: int = 3
+
+    # --- candidate-generation scale controls ---
+    # A band group larger than this is boilerplate, not near-dup signal:
+    # it is capped (pairs beyond the cap are dropped WITH accounting in the
+    # metrics table -- no silent truncation). SURVEY.md par. 4 item 1.
+    max_band_group: int = 200
+    # salt fan-out used to split moderately hot band groups across tasks
+    salt_buckets: int = 8
+    # band groups larger than this take the salted-join path; smaller ones
+    # join plainly (salting everything would n_salt-x the shuffle volume)
+    salt_hot_threshold: int = 32
+
+    # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
+    top_n_predict: int = 100
+    top_n_train: int = 10
+
+    # --- partitioning / shuffle knobs ---
+    shuffle_partitions: int = 32
+    conv_partitions: int = 32          # repartition(n, conv_id) before assembly
+    arrow_batch_size: int = 4096
+
+    # --- clustering ---
+    cc_max_iterations: int = 50
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    # Deterministic (a, b) permutation parameters for MinHash:
+    # h_i(x) = ((a_i * x + b_i) mod p) with p = 2^61-1, a_i in [1, p),
+    # b_i in [0, p). Fixed seed => run-to-run reproducible signatures
+    # (SURVEY.md par. 7 "Exactly-reproducible MinHash").
+    def perm_params(self) -> tuple[np.ndarray, np.ndarray]:
+        rng = np.random.RandomState(self.minhash_seed)
+        a = rng.randint(1, int(MERSENNE_PRIME), size=self.num_perm, dtype=np.uint64)
+        b = rng.randint(0, int(MERSENNE_PRIME), size=self.num_perm, dtype=np.uint64)
+        return a, b
+
+    def simhash_seed(self) -> int:
+        return self.minhash_seed ^ 0x5EED
+
+    def config_fingerprint(self) -> str:
+        """Stable hash of all semantic knobs; stamped into checkpoint
+        manifests so a resume never silently mixes configs."""
+        payload = repr(sorted(self.__dict__.items())).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,194 @@
+"""Similarity kernels with exact parity to the reference's matcher.
+
+* Levenshtein **ratio** (D2): python-Levenshtein ``ratio()`` semantics --
+  edit distance with substitution cost 2 (equivalently the indel distance),
+  ``ratio = (lx+ly - dist2)/(lx+ly)``, then ``int(round(r*100))`` with
+  Python's banker's rounding (np.rint matches). Reference: numba DP with
+  cost-2 substitution /root/reference/doppelspeller/feature_engineering.py:25-63;
+  wrapper /root/reference/doppelspeller/common.py:161-163.
+  NOTE: Spark's builtin ``levenshtein()`` uses substitution cost 1 and is
+  NOT ratio-compatible (SURVEY.md D2) -- hence our own numpy DP, banded:
+  since the cascade only *uses* ratios > threshold, any pair whose distance
+  exceeds the threshold-implied bound may exit early.
+
+* Token-sort ratio (D3): sort words, join with single spaces, then D2
+  (/root/reference/doppelspeller/common.py:165-167).
+
+* Deletion-ratio length gate (D4): ``((lx+ly-|lx-ly|)/(lx+ly))*100`` -- a
+  cheap upper bound on D2 computed as *native columns* so Catalyst filters
+  rows BEFORE the Python UDF (/root/reference/doppelspeller/predict.py:140-145;
+  the reference also orders this gate by hand, predict.py:148-156).
+
+* Staged gate chain (D5): deletion_ratio < T -> 0; ratio > T -> ratio;
+  else token-sort ratio (/root/reference/doppelspeller/predict.py:147-156).
+
+* Exact IDF-weighted Jaccard (D1) is a join+agg, not a kernel -- see
+  dedup/operators/match.py; the exact *set* Jaccard on shingle arrays used
+  by pair verification is a native column expression (``array_intersect``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+from pyspark.sql.types import IntegerType
+
+from dedup.config import DedupConfig, DEFAULT_CONFIG
+
+
+# ---------------------------------------------------------------------------
+# indel distance (Levenshtein with substitution cost 2 == lx+ly-2*LCS)
+# ---------------------------------------------------------------------------
+
+def _indel_distance(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> int:
+    """Distance between two uint8/int code arrays with unit indel cost and
+    substitution forbidden (cost 2 via delete+insert). Row-vectorized numpy
+    DP; early-exits with ``dmax+1`` once the running row minimum exceeds
+    ``dmax`` (threshold banding)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:  # iterate over the shorter string's rows
+        a, b, la, lb = b, a, lb, la
+    if dmax is not None and la - lb > dmax:
+        return dmax + 1
+    prev = np.arange(lb + 1, dtype=np.int32)
+    cur = np.empty(lb + 1, dtype=np.int32)
+    idx = np.arange(lb, dtype=np.int32)
+    sentinel = np.int32(np.iinfo(np.int32).max // 2)
+    for i in range(1, la + 1):
+        cur[0] = i
+        eq = b == a[i - 1]
+        # no substitution: cur[j] = min(prev[j]+1, cur[j-1]+1, prev[j-1] if eq)
+        # the cur[j-1] dependency is sequential; resolve with the standard
+        # prefix-min trick: m[j] = min(prev[j]+1, match[j]); then
+        # cur[j] = min over k<=j of (m[k] + (j-k)) = prefix-scan min.
+        match = np.where(eq, prev[:-1], sentinel)
+        m = np.minimum(prev[1:] + np.int32(1), match)
+        # prefix scan: cur[j] = min(m[j], cur[j-1]+1)
+        np.minimum.accumulate(m - idx, out=cur[1:])
+        cur[1:] += idx
+        cur[1:] = np.minimum(cur[1:], cur[0] + idx + np.int32(1))
+        if dmax is not None and cur.min() > dmax:
+            return dmax + 1
+        prev, cur = cur, prev
+    return int(prev[lb])
+
+
+def indel_distance_str(x: str, y: str, dmax: int | None = None) -> int:
+    a = np.frombuffer(x.encode("utf-8", "ignore"), dtype=np.uint8)
+    b = np.frombuffer(y.encode("utf-8", "ignore"), dtype=np.uint8)
+    return _indel_distance(a, b, dmax)
+
+
+def levenshtein_ratio_py(x: str, y: str, dmax: int | None = None) -> int:
+    """int(round(100 * (lx+ly-dist2)/(lx+ly))) -- python-Levenshtein parity
+    (/root/reference/doppelspeller/common.py:161-163). If banding truncates
+    (dist > dmax) the returned ratio is an upper-bounded 0-safe value below
+    any threshold that implied dmax."""
+    total = len(x) + len(y)
+    if total == 0:
+        return 100
+    d = indel_distance_str(x, y, dmax)
+    return int(np.rint(100.0 * (total - d) / total))
+
+
+def token_sort_py(x: str) -> str:
+    return " ".join(sorted(x.split()))
+
+
+def staged_ratio_py(x: str, y: str, threshold: int = 94) -> int:
+    """Full D4->D2->D5 chain (/root/reference/doppelspeller/predict.py:147-156):
+    deletion-ratio gate, then ratio, token-sort fallback when ratio <= T."""
+    lx, ly = len(x), len(y)
+    total = lx + ly
+    if total == 0:
+        return 100
+    if ((total - abs(lx - ly)) / total) * 100 < threshold:
+        return 0
+    dmax_for = lambda n: int(np.floor(n * (1 - threshold / 100.0))) + 1
+    r = levenshtein_ratio_py(x, y, dmax_for(total))
+    if r <= threshold:
+        xs, ys = token_sort_py(x), token_sort_py(y)
+        return levenshtein_ratio_py(xs, ys, dmax_for(len(xs) + len(ys)))
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Spark column forms
+# ---------------------------------------------------------------------------
+
+def deletion_ratio_col(x: Column | str, y: Column | str) -> Column:
+    """D4 as pure column arithmetic -- evaluated JVM-side BEFORE any UDF."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    lx, ly = F.length(cx).cast("double"), F.length(cy).cast("double")
+    total = lx + ly
+    return F.when(total == 0, F.lit(100.0)).otherwise(
+        (total - F.abs(lx - ly)) / total * 100.0
+    )
+
+
+def token_sort_col(col: Column | str) -> Column:
+    """D3 key: sort words alphabetically, single-space join
+    (/root/reference/doppelspeller/common.py:166) -- native columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(" ", F.array_sort(F.filter(F.split(c, r"\s+"), lambda w: w != "")))
+
+
+def levenshtein_ratio_pairs(
+    x: Column | str, y: Column | str, threshold: int | None = None
+) -> Column:
+    """Arrow-batched pandas UDF computing the cost-2 Levenshtein ratio per
+    pair. ``threshold`` enables DP banding (early exit); pass None for the
+    exact unbanded ratio."""
+    thr = threshold
+
+    @F.pandas_udf(IntegerType())
+    def _ratio(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.empty(len(xs), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(xs.fillna(""), ys.fillna(""))):
+            dmax = None
+            if thr is not None:
+                dmax = int(np.floor((len(a) + len(b)) * (1 - thr / 100.0))) + 1
+            out[i] = levenshtein_ratio_py(a, b, dmax)
+        return pd.Series(out)
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return _ratio(cx, cy)
+
+
+def staged_levenshtein_ratio_col(
+    x: Column | str,
+    y: Column | str,
+    config: DedupConfig = DEFAULT_CONFIG,
+) -> Column:
+    """Full gate chain D4->D2->D5 as one column expression. The deletion
+    gate is native (filterable by Catalyst); only surviving rows pay the
+    Python UDF."""
+    thr = config.lev_threshold
+
+    @F.pandas_udf(IntegerType())
+    def _staged(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.empty(len(xs), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(xs.fillna(""), ys.fillna(""))):
+            out[i] = staged_ratio_py(a, b, thr)
+        return pd.Series(out)
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return F.when(deletion_ratio_col(cx, cy) < F.lit(float(thr)), F.lit(0)).otherwise(
+        _staged(cx, cy)
+    )
+
+
+def exact_jaccard_col(grams_a: Column | str, grams_b: Column | str) -> Column:
+    """Plain set Jaccard on two shingle arrays -- native columns only."""
+    ga = F.col(grams_a) if isinstance(grams_a, str) else grams_a
+    gb = F.col(grams_b) if isinstance(grams_b, str) else grams_b
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = (F.size(ga) + F.size(gb)).cast("double") - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)

@@ -1,0 +1,167 @@
+"""MinHash / SimHash sketches and LSH band hashes as Arrow-vectorized
+pandas UDFs with numpy matrix bodies (no per-row Python UDFs -- the
+``input_hint`` mandate; the moral successor of the reference's numba
+kernels, /root/reference/doppelspeller/match_maker.py:16-71).
+
+Inputs are ``array<bigint>`` columns of xxhash64'd shingles produced
+JVM-side (dedup/functions/shingle.py:gram_hashes_col) -- the hashing of raw
+text stays in whole-stage codegen; only the permutation/min and bit-vote
+math crosses into Python, batched.
+
+MinHash family: h_i(x) = (a_i * x + b_i) mod p, p = 2^61-1, over x = the
+64-bit shingle hash mapped into [0, p). Deterministic (a, b) tables come
+from DedupConfig.perm_params() so signatures are reproducible run-to-run
+(SURVEY.md par.7). The reference itself declared-but-never-used
+``sequences_min_hash`` columns (/root/reference/doppelspeller/constants.py:8,17)
+-- this module is that road actually taken.
+
+Vectorization shape: one batch of B docs with G total shingles becomes a
+flat uint64 vector; each permutation is two vector ops + one
+``np.minimum.reduceat`` segment-min -- O(num_perm * G) numpy work, no
+Python loops over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from dedup.config import DedupConfig, DEFAULT_CONFIG, MERSENNE_PRIME, MAX_HASH
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _mulmod_p(a: np.uint64, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1) for inputs < 2^61, without 128-bit ints: split
+    both operands into 31/30-bit halves so every partial product fits in
+    uint64, then fold with the Mersenne identity 2^61 ≡ 1 (mod p)."""
+    p = MERSENNE_PRIME
+    one, m31, m30 = np.uint64(1), np.uint64(31), np.uint64(30)
+    mask31 = np.uint64((1 << 31) - 1)
+    mask30 = np.uint64((1 << 30) - 1)
+    a1, a0 = a >> m31, a & mask31          # a1 < 2^30, a0 < 2^31
+    x1, x0 = x >> m31, x & mask31          # x1 < 2^30, x0 < 2^31
+    # a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
+    t2 = ((a1 * x1) << one) % p            # 2^62 ≡ 2 (mod p); a1*x1 < 2^60
+    mid = a1 * x0 + a0 * x1                # < 2^62, fits
+    m_hi, m_lo = mid >> m30, mid & mask30  # mid = m_hi*2^30 + m_lo
+    t1 = (m_hi + (m_lo << m31)) % p        # mid*2^31 ≡ m_hi + m_lo*2^31
+    t0 = (a0 * x0) % p                     # < 2^62, fits
+    return (t2 + t1 + t0) % p
+
+
+def _perm_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-permutation hash matrix: shape (num_perm, len(x)), uint64 < p."""
+    p = MERSENNE_PRIME
+    out = np.empty((len(a), len(x)), dtype=np.uint64)
+    for i in range(len(a)):
+        out[i] = (_mulmod_p(np.uint64(a[i]), x) + b[i]) % p
+    return out
+
+
+def _to_field(hashes: np.ndarray) -> np.ndarray:
+    """Map signed-int64 xxhash64 values into [0, p)."""
+    return hashes.astype(np.uint64) % MERSENNE_PRIME
+
+
+def minhash_signature_udf(
+    gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """array<bigint> shingle hashes -> array<bigint> MinHash signature of
+    length num_perm. Empty shingle sets get the MAX_HASH sentinel row (never
+    collides with a real min)."""
+    a_params, b_params = config.perm_params()
+    num_perm = config.num_perm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(batches: pd.Series) -> pd.Series:
+        sizes = batches.apply(len).to_numpy(dtype=np.int64)
+        n = len(sizes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in batches if len(v)]
+        ) if sizes.sum() else np.empty(0, dtype=np.int64)
+        sigs = np.full((n, num_perm), int(MAX_HASH), dtype=np.uint64)
+        if len(flat):
+            x = _to_field(flat)
+            hm = _perm_hashes(x, a_params, b_params)  # (num_perm, G)
+            nonempty = sizes > 0
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(sizes[nonempty][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(hm, offsets, axis=1)  # (num_perm, n_nonempty)
+            sigs[nonempty] = mins.T
+        out = sigs.astype(np.int64)
+        return pd.Series(list(out))
+
+    c = F.col(gram_hashes) if isinstance(gram_hashes, str) else gram_hashes
+    return _sig(c)
+
+
+def band_hashes_udf(
+    signature: Column | str, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """MinHash signature -> array<bigint> of lsh_bands band hashes (FNV-1a
+    over each band's r signature values + the band index, so identical rows
+    in different bands never collide)."""
+    bands, rows = config.lsh_bands, config.lsh_rows
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(sigs: pd.Series) -> pd.Series:
+        n = len(sigs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(s, dtype=np.int64) for s in sigs]).astype(
+            np.uint64
+        )  # (n, num_perm)
+        cube = mat.reshape(n, bands, rows)
+        h = np.full((n, bands), int(_FNV_OFFSET), dtype=np.uint64)
+        for r in range(rows):
+            h ^= cube[:, :, r]
+            h *= _FNV_PRIME
+        h ^= np.arange(bands, dtype=np.uint64)[None, :]
+        h *= _FNV_PRIME
+        out = h.astype(np.int64)
+        return pd.Series(list(out))
+
+    c = F.col(signature) if isinstance(signature, str) else signature
+    return _bands(c)
+
+
+def simhash_udf(
+    gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """64-bit SimHash over shingle hashes: per-bit +/-1 votes, sign -> bit.
+    Downstream hamming distance is native SQL ``bit_count(a ^ b)`` -- no UDF
+    on the pair side (SURVEY.md par.7 step 5)."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(batches: pd.Series) -> pd.Series:
+        n = len(batches)
+        out = np.zeros(n, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, v in enumerate(batches):
+            if v is None or len(v) == 0:
+                continue
+            h = np.asarray(v, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (G, 64)
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+            word = np.uint64(0)
+            for b_idx in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(b_idx)
+            out[i] = np.int64(word.astype(np.int64))
+        return pd.Series(out)
+
+    c = F.col(gram_hashes) if isinstance(gram_hashes, str) else gram_hashes
+    return _simhash(c)
+
+
+def hamming_col(a: Column | str, b: Column | str) -> Column:
+    """Native bit_count(a XOR b) -- JVM-side hamming distance on SimHashes."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

@@ -1,0 +1,120 @@
+"""Embedding similarity search: brute-force cosine top-k baseline plus an
+LSH-bucketed (random hyperplane / SRP) scale path, and embedding-cosine
+near-duplicate pairs.
+
+Brute force is the *correctness* baseline (exact, O(Q*N) -- fine when one
+side broadcasts); the sign-random-projection bucket join is the *scale*
+path: only vectors sharing a hyperplane-sign bucket meet, the same
+candidate-generation shape as MinHash LSH for text.
+
+Dot products use native ``F.zip_with`` + ``F.aggregate`` -- no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from dedup.operators.grouping import grouped_top_k
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(ca, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column | str, b: Column | str) -> Column:
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus; the join is a BroadcastNestedLoopJoin by construction, the
+    score is a native column, top-k is a rank window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col("q_vec", "c_vec"), 9).alias("cosine"),
+    )
+    return grouped_top_k(
+        scored, ["query_id"], "cosine", k, tiebreak_cols=["neighbor_id"]
+    )
+
+
+def srp_bucket_col(vec_col: Column | str, n_planes: int = 16, dim: int = 64, seed: int = 13) -> Column:
+    """Sign-random-projection bucket id: sign bits of <v, r_j> for n_planes
+    seeded hyperplanes, packed into a bigint. Native columns: each plane is
+    a literal array; dot via zip_with/aggregate."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        d = dot_col(v, plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: n_tables independent SRP
+    bucketings; pairs sharing any bucket get exact cosine verification.
+    Same generate->verify shape as the text pipeline."""
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = None
+    for t in range(n_tables):
+        b = base.select(
+            "id", "v", F.lit(t).alias("tbl"), srp_bucket_col("v", n_planes, dim, seed + t).alias("bucket")
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cands = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_col("va", "vb"), 9))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )

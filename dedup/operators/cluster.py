@@ -1,0 +1,108 @@
+"""Connected components via alternating large-star / small-star rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond") -- the
+clustering tier the reference lacks entirely (it stops at best-match pairs,
+/root/reference/doppelspeller/predict.py:256-272; SURVEY.md par.2.9 tier 5').
+
+Why star-contraction and not label propagation: min-label flooding needs
+O(diameter) rounds (a 10k-node chain fixture = 10k shuffles); star rounds
+converge in O(log^2 n) and each round is two groupBy/join shuffles.
+
+Implementation is pure DataFrame ops -- per-node neighborhood minima via
+``min().over()``-free groupBy+join (no collect_list: a 50k-leaf hub stays
+(rows, not one giant array). Every iteration ends in ``localCheckpoint``
+to truncate lineage (driver loops are where Spark plans otherwise grow
+exponentially); on-cluster this is an Iceberg stage-table checkpoint.
+
+Node ids are treated as orderable (string or long); canonical cluster id is
+the component-minimum node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from dedup.config import DedupConfig, DEFAULT_CONFIG
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m(u) = min over {u} ∪ N(u); emit (v, m(u)) for every
+    neighbor v > u. Connects big neighbors to the local minimum."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("min_n"))
+    mins = mins.withColumn("m", F.least(F.col("u"), F.col("min_n"))).drop("min_n")
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to (big, small); for each node u: m = min over
+    {u} ∪ N_small(u); emit (v, m) for v in N_small(u) ∪ {u}, v != m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relabeled = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return relabeled
+
+
+def connected_components(
+    edges: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Edge list -> (node, cluster_id) with cluster_id = min node id of the
+    component. Nodes appearing only in ``edges``; callers union singleton
+    docs afterwards (pipeline does)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(config.cc_max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # fixpoint: the edge multiset is stable. Cheap O(1)-driver check:
+        # count + order-insensitive hash-sum of the canonical pairs.
+        def _stats(df):
+            return df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst")).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+            ).first()
+
+        stats_new = _stats(e2)
+        stats_old = _stats(e)
+        e = e2
+        if stats_new["n"] == stats_old["n"] and stats_new["h"] == stats_old["h"]:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {config.cc_max_iterations} rounds"
+        )
+
+    # After convergence the edges form stars (v -> component minimum).
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id"))
+    return (
+        members.unionByName(roots)
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )

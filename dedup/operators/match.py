@@ -1,0 +1,181 @@
+"""Reference-parity staged matching cascade: query titles vs a truth table.
+
+This is the direct Spark re-expression of the reference's "query plan"
+(/root/reference/doppelspeller/predict.py:274-321, SURVEY.md par.2.9),
+tiers 1-3 with identical thresholds/semantics:
+
+  1. EXACT: inner equi-join on normalized text -> prediction 1.0
+     (predict.py:97-113); misses continue via left_anti (T1).
+  2. CANDIDATES: IDF-weighted char-3-gram Jaccard, top-k per query
+     (match_maker.py:16-50,183-190; k=100, settings.py:56). Implemented as
+     an inverted-index explode + equi-join on the gram (J1/J2 re-expressed):
+       score(q, t) = I / (S_t + S_q - I),
+       I = sum idf(g) over shared grams, S_x = sum idf(g) over x's grams,
+       idf(g) = ln(N_truth / df_truth(g)); grams unknown to the truth side
+       weigh max(idf) (match_maker.py:151-152,95).
+  3. CLOSE MATCH: deletion-ratio gate -> cost-2 Levenshtein ratio ->
+     token-sort fallback, keep ratio > 94, grouped argmax, ambiguous
+     queries dropped from this tier (predict.py:140-183).
+  4. finalize: unmatched queries get title_id -1
+     (settings.py:33, predict.py:262-267).
+
+Tier 4 of the reference (XGBoost re-rank) is deliberately replaced by the
+deterministic verification stack per BASELINE.json north_rule.
+
+Scale notes: the gram inverted-index join shuffles on the gram string; df
+counts and idf are distributed aggs (never a driver dictionary -- the
+reference's in-memory gram dictionary, match_maker.py:144-153, is the
+thing that cannot scale). Hot grams are exactly the skew case LSH salting
+handles in the dedup path; for title-mode parity the per-gram fan-out is
+bounded by df * queries-per-gram and AQE skew-join splits hot partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from dedup.config import DedupConfig, DEFAULT_CONFIG
+from dedup.functions.normalize import normalize_text_col
+from dedup.functions.shingle import char_ngrams_col
+from dedup.functions.similarity import staged_levenshtein_ratio_col
+from dedup.operators.grouping import grouped_top_k, group_argmax_unique
+
+NOT_FOUND = -1  # reference TRAIN_NOT_FOUND_VALUE, settings.py:33
+
+# title-parity normalization cap (reference settings.py:67-68)
+TITLE_MAX_CHARS = 255
+
+
+def _with_norm_and_grams(df: DataFrame, text_col: str, config: DedupConfig) -> DataFrame:
+    cfg = config.with_(max_chars=TITLE_MAX_CHARS)
+    return df.withColumn("norm_text", normalize_text_col(text_col, cfg)).withColumn(
+        "grams", char_ngrams_col("norm_text", cfg.k_shingle)
+    )
+
+
+def truth_idf(truth: DataFrame, config: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(gram, idf) from the truth side: idf = ln(N / df(gram)), df counted
+    once per title (distinct-per-doc semantics, common.py:140-147)."""
+    n_truth = truth.count()
+    return (
+        truth.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_truth)) / F.col("df")))
+        .drop("df")
+    )
+
+
+def jaccard_topk_candidates(
+    queries: DataFrame,
+    truth: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    top_n: int | None = None,
+) -> DataFrame:
+    """IDF-weighted Jaccard top-k truth candidates per query.
+
+    Inputs must carry (query_id|title_id, norm_text, grams). Returns
+    (query_id, title_id, score)."""
+    top_n = top_n or config.top_n_predict
+    idf = truth_idf(truth, config)
+    max_idf = idf.agg(F.max("idf")).first()[0]
+
+    q_grams = queries.select(
+        "query_id", F.explode("grams").alias("gram")
+    ).join(idf, "gram", "left").withColumn(
+        "idf", F.coalesce("idf", F.lit(max_idf))  # unknown gram -> max idf
+    )
+    t_grams = truth.select("title_id", F.explode("grams").alias("gram")).join(
+        idf, "gram", "inner"
+    )
+
+    # per-side idf sums (the S_q / S_t terms)
+    s_q = q_grams.groupBy("query_id").agg(F.sum("idf").alias("s_q"))
+    s_t = t_grams.groupBy("title_id").agg(F.sum("idf").alias("s_t"))
+
+    inter = (
+        q_grams.select("query_id", "gram", "idf")
+        .join(t_grams.select("title_id", "gram"), "gram", "inner")
+        .groupBy("query_id", "title_id")
+        .agg(F.sum("idf").alias("i"))
+    )
+    scored = (
+        inter.join(s_q, "query_id")
+        .join(s_t, "title_id")
+        .withColumn("score", F.col("i") / (F.col("s_t") + F.col("s_q") - F.col("i")))
+        .select("query_id", "title_id", "score")
+    )
+    return grouped_top_k(
+        scored, ["query_id"], "score", top_n, tiebreak_cols=["title_id"]
+    )
+
+
+def match_titles(
+    queries_raw: DataFrame,
+    truth_raw: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Full cascade. queries_raw: (query_id, title); truth_raw:
+    (title_id, title). Returns (query_id, title_id, prediction, tier) with
+    title_id = -1 for unmatched."""
+    queries = _with_norm_and_grams(queries_raw, "title", config).select(
+        "query_id", "norm_text", "grams"
+    )
+    truth = _with_norm_and_grams(truth_raw, "title", config).select(
+        "title_id", "norm_text", "grams"
+    )
+
+    # ---- tier 1: exact (predict.py:97-113). The reference probes a dict
+    # title -> id built last-one-wins; duplicate truth titles collapse. We
+    # take max(title_id) per norm_text to mirror "last wins" on insertion
+    # order = truth row order.
+    truth_exact = truth.groupBy("norm_text").agg(F.max("title_id").alias("title_id"))
+    exact = queries.join(truth_exact, "norm_text", "inner").select(
+        "query_id",
+        "title_id",
+        F.lit(1.0).alias("prediction"),
+        F.lit("exact").alias("tier"),
+    )
+
+    remaining = queries.join(exact.select("query_id"), "query_id", "left_anti")
+
+    # ---- tier 2: candidates (top-k IDF-weighted Jaccard)
+    cands = jaccard_topk_candidates(remaining, truth, config, top_n)
+
+    # ---- tier 3: close match via staged Levenshtein
+    pairs = (
+        cands.join(
+            remaining.select("query_id", F.col("norm_text").alias("q_text")),
+            "query_id",
+        )
+        .join(
+            truth.select("title_id", F.col("norm_text").alias("t_text")),
+            "title_id",
+        )
+        .withColumn(
+            "lev_ratio", staged_levenshtein_ratio_col("q_text", "t_text", config)
+        )
+    )
+    close = pairs.filter(F.col("lev_ratio") > config.lev_threshold)
+    close = group_argmax_unique(close, ["query_id"], "lev_ratio").select(
+        "query_id",
+        "title_id",
+        F.lit(1.0).alias("prediction"),
+        F.lit("close").alias("tier"),
+    )
+
+    matched = exact.unionByName(close)
+
+    # ---- finalize: unmatched -> -1 (predict.py:262-267)
+    not_found = (
+        queries.join(matched.select("query_id"), "query_id", "left_anti")
+        .select(
+            "query_id",
+            F.lit(NOT_FOUND).cast("long").alias("title_id"),
+            F.lit(0.0).alias("prediction"),
+            F.lit("not_found").alias("tier"),
+        )
+    )
+    return matched.unionByName(not_found)

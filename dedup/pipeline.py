@@ -1,0 +1,154 @@
+"""End-to-end transcript dedup pipeline: assemble -> prepare (normalize/
+shingle/sketch) -> exact tier -> LSH candidates -> verify -> cluster, with
+each stage checkpointed to a catalog table (resume = skip committed stages)
+and a metrics table of per-stage lineage.
+
+The stage order is the reference's cheapest-first cascade philosophy
+(/root/reference/doppelspeller/predict.py:274-321) at corpus scale:
+identical docs never reach MinHash; non-candidates never reach
+verification; verification never reaches clustering.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from dedup.catalog import CheckpointCatalog, StageResult
+from dedup.config import DedupConfig, DEFAULT_CONFIG
+from dedup.operators.assemble import assemble_conversations
+from dedup.operators.candidates import candidate_pairs, prepare_docs
+from dedup.operators.cluster import connected_components
+from dedup.operators.exact import (
+    exact_duplicate_groups,
+    exact_duplicate_pairs,
+    representatives,
+)
+from dedup.operators.verify import verify_pairs
+
+STAGES = [
+    "assembled",
+    "prepared",
+    "exact_groups",
+    "candidate_pairs",
+    "band_skew",
+    "verified_pairs",
+    "clusters",
+]
+
+
+@dataclass
+class PipelineReport:
+    run_id: str
+    stages: list[StageResult] = field(default_factory=list)
+    total_seconds: float = 0.0
+
+    def as_rows(self):
+        return [
+            (
+                self.run_id,
+                s.table,
+                s.rows,
+                s.partitions,
+                round(s.seconds, 3),
+                s.resumed,
+            )
+            for s in self.stages
+        ]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str,
+    config: DedupConfig = DEFAULT_CONFIG,
+    run_id: str | None = None,
+    ascii_fast_path: bool = False,
+) -> PipelineReport:
+    """Execute (or resume) the full dedup pipeline. Every stage table that
+    already exists with a matching config fingerprint is reused untouched,
+    so a kill at any point resumes without recomputation and yields an
+    identical ``clusters`` table (tests/test_resume.py)."""
+    t0 = time.time()
+    cat = CheckpointCatalog(
+        spark, warehouse, run_id=run_id, config_fingerprint=config.config_fingerprint()
+    )
+    report = PipelineReport(run_id=cat.run_id)
+
+    assembled, r = cat.write_or_resume(
+        "assembled", lambda: assemble_conversations(transcripts, config)
+    )
+    report.stages.append(r)
+
+    prepared, r = cat.write_or_resume(
+        "prepared",
+        lambda: prepare_docs(
+            assembled, "conv_id", "doc_text", config, ascii_fast_path=ascii_fast_path
+        ),
+    )
+    report.stages.append(r)
+
+    exact_groups, r = cat.write_or_resume(
+        "exact_groups", lambda: exact_duplicate_groups(prepared, "doc_id", "norm_text")
+    )
+    report.stages.append(r)
+
+    reps = representatives(prepared, exact_groups, "doc_id")
+
+    def _cands():
+        res = candidate_pairs(reps, config)
+        # persist skew accounting alongside (separate table, same commit
+        # discipline) -- the "no silent truncation" ledger.
+        cat.write("band_skew", res.band_skew, stage="candidate_pairs")
+        return res.pairs
+
+    cands, r = cat.write_or_resume("candidate_pairs", _cands)
+    report.stages.append(r)
+
+    verified, r = cat.write_or_resume(
+        "verified_pairs", lambda: verify_pairs(cands, reps, config)
+    )
+    report.stages.append(r)
+
+    def _clusters():
+        near_edges = verified.select("id_a", "id_b")
+        exact_edges = exact_duplicate_pairs(exact_groups).select("id_a", "id_b")
+        edges = near_edges.unionByName(exact_edges)
+        cc = connected_components(edges, config)
+        # singletons: docs in no edge get their own cluster
+        all_docs = prepared.select(F.col("doc_id").alias("node"))
+        out = (
+            all_docs.join(cc, "node", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "node"))
+            .select(F.col("node").alias("conv_id"), "cluster_id")
+        )
+        # canonical layout: HASH-partition on conv_id + in-partition sort so
+        # committed files are byte-identical across resume paths (the
+        # north_rule resumability gate is byte-level, not just set-level).
+        # NOT repartitionByRange: range boundaries come from sampling the
+        # upstream layout, which differs between a fresh run and a resume.
+        return out.repartition(
+            max(2, config.conv_partitions // 4), "conv_id"
+        ).sortWithinPartitions("conv_id")
+
+    clusters, r = cat.write_or_resume("clusters", _clusters)
+    report.stages.append(r)
+
+    # metrics table: one row per (run_id, stage) + per-partition lineage in
+    # each stage manifest. Append-style (overwrites per run_id dir).
+    metrics_rows = report.as_rows()
+    metrics_df = spark.createDataFrame(
+        metrics_rows,
+        "run_id string, stage string, rows long, partitions int, seconds double, resumed boolean",
+    )
+    cat.write(f"metrics_{cat.run_id}", metrics_df, stage="metrics")
+
+    report.total_seconds = time.time() - t0
+    return report
+
+
+def load_clusters(spark: SparkSession, warehouse: str) -> DataFrame:
+    return spark.read.parquet(f"{warehouse}/clusters")

@@ -1,0 +1,61 @@
+"""SparkSession factory: Arrow on, AQE on, Iceberg catalog when the runtime
+jar is present, parquet-shim catalog otherwise (dedup.catalog).
+
+Design notes (scale): AQE handles runtime partition coalescing and skew-join
+splitting; ``spark.sql.shuffle.partitions`` is a starting point that AQE
+re-plans. Arrow batch size bounds Python-UDF memory per batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+from dedup.config import DedupConfig, DEFAULT_CONFIG
+
+
+def iceberg_jar_available() -> bool:
+    import pyspark
+
+    return bool(
+        glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*iceberg*"))
+    )
+
+
+def get_spark(
+    app_name: str = "transcript-dedup",
+    master: str | None = None,
+    config: DedupConfig = DEFAULT_CONFIG,
+    warehouse: str | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.arrow_batch_size),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if iceberg_jar_available() and warehouse:
+        # Primary path on a real cluster: a named Iceberg catalog.
+        builder = (
+            builder.config(
+                "spark.sql.catalog.dedup", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.dedup.type", "hadoop")
+            .config("spark.sql.catalog.dedup.warehouse", warehouse)
+        )
+    return builder.getOrCreate()

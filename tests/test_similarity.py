@@ -1,0 +1,124 @@
+"""Levenshtein-ratio parity (cost-2 substitution, FIXTURES.md F4) and the
+staged D4->D2->D5 gate chain (/root/reference/doppelspeller/predict.py:140-156).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from dedup.functions.similarity import (
+    deletion_ratio_col,
+    indel_distance_str,
+    levenshtein_ratio_pairs,
+    levenshtein_ratio_py,
+    staged_levenshtein_ratio_col,
+    staged_ratio_py,
+    token_sort_py,
+)
+from dedup.config import DedupConfig
+
+
+def brute_indel(x: str, y: str) -> int:
+    prev = list(range(len(y) + 1))
+    for i in range(1, len(x) + 1):
+        cur = [i] + [0] * len(y)
+        for j in range(1, len(y) + 1):
+            best = min(prev[j] + 1, cur[j - 1] + 1)
+            if x[i - 1] == y[j - 1]:
+                best = min(best, prev[j - 1])
+            cur[j] = best
+        prev = cur
+    return prev[len(y)]
+
+
+def ref_ratio(x: str, y: str) -> int:
+    """python-Levenshtein ratio()*100 int-rounded (common.py:161-163)."""
+    total = len(x) + len(y)
+    if total == 0:
+        return 100
+    return int(np.rint(100.0 * (total - brute_indel(x, y)) / total))
+
+
+def test_indel_randomized_parity():
+    rng = random.Random(99)
+    for _ in range(500):
+        x = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 25)))
+        y = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 25)))
+        assert indel_distance_str(x, y) == brute_indel(x, y)
+        assert levenshtein_ratio_py(x, y) == ref_ratio(x, y)
+
+
+# F4 golden pairs
+F4 = [
+    ("identical title here", "identical title here", 100),     # identical
+    ("abcdefghij klmnopqrst", "abcdefghij klmnopqst", None),    # single deletion
+    ("the quick brown fox jumped", "quick the brown fox jumped", None),  # word swap
+]
+
+
+def test_staged_chain_semantics():
+    t = 94
+    # identical -> 100
+    assert staged_ratio_py("same text", "same text", t) == 100
+    # word-swap: plain ratio <= 94 but token-sort == 100 -> returns 100
+    a = "the quick brown fox jumped over dogs"
+    b = "quick the brown fox jumped over dogs"
+    assert ref_ratio(a, b) <= t
+    assert staged_ratio_py(a, b, t) == 100
+    # deletion-ratio length gate: wildly different lengths -> 0 without DP
+    assert staged_ratio_py("ab c", "a" * 100, t) == 0
+    # single char deletion on a long string stays above threshold
+    x = "a reasonably long company title string"
+    y = x.replace("company ", "company", 1)  # remove one space
+    assert staged_ratio_py(x, y, t) == ref_ratio(x, y) > t
+
+
+def test_staged_matches_reference_composition():
+    """staged == reference's _get_levenshtein_ratio for ratios above the
+    threshold (below it only the branch, not the value, is contractual)."""
+    t = 94
+    rng = random.Random(4)
+    from dedup.generate import misspell
+
+    base_words = "spark shuffle partition cluster vector token prompt agent"
+    for _ in range(200):
+        x = " ".join(rng.sample(base_words.split(), 5))
+        y = misspell(rng, x, n_ops=1)
+        lx, ly = len(x), len(y)
+        total = lx + ly
+        dr = ((total - abs(lx - ly)) / total) * 100 if total else 100
+        if dr < t:
+            expected = 0
+        else:
+            r = ref_ratio(x, y)
+            expected = ref_ratio(token_sort_py(x), token_sort_py(y)) if r <= t else r
+        got = staged_ratio_py(x, y, t)
+        if expected > t or got > t:
+            assert got == expected, (x, y)
+        else:
+            assert got <= t  # same non-match decision
+
+
+def test_spark_columns_match_python(spark, config):
+    rng = random.Random(5)
+    pairs = []
+    from dedup.generate import misspell
+
+    for i in range(60):
+        x = " ".join(rng.choice("alpha bravo charlie delta echo".split()) for _ in range(6))
+        y = misspell(rng, x) if i % 2 else x + " tail"
+        pairs.append((x, y))
+    df = spark.createDataFrame(pairs, "x string, y string")
+    rows = df.select(
+        "x",
+        "y",
+        levenshtein_ratio_pairs("x", "y").alias("plain"),
+        staged_levenshtein_ratio_col("x", "y", config).alias("staged"),
+        deletion_ratio_col("x", "y").alias("delr"),
+    ).collect()
+    for r in rows:
+        assert r["plain"] == ref_ratio(r["x"], r["y"])
+        assert r["staged"] == staged_ratio_py(r["x"], r["y"], config.lev_threshold)
+        lx, ly = len(r["x"]), len(r["y"])
+        assert r["delr"] == pytest.approx(((lx + ly - abs(lx - ly)) / (lx + ly)) * 100)
