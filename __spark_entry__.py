@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exposes one engine operator (SURVEY.md par.2) over
+the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL (omitted for hash-dependent ops -> rows-only
+check). Column names and rounding are aligned on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +11,503 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
+from dedup.config import DedupConfig
+from dedup.functions.normalize import normalize_ascii_col
+from dedup.functions.shingle import char_ngrams_col, gram_hashes_col, words_col
+from dedup.functions.similarity import exact_jaccard_col, staged_levenshtein_ratio_col
+from dedup.functions.sketch import hamming_col, simhash_udf
+from dedup.knn import brute_force_topk, srp_near_dup_pairs
+from dedup.operators.assemble import assemble_conversations
+from dedup.operators.candidates import candidate_pairs, prepare_docs
+from dedup.operators.cluster import connected_components
+from dedup.operators.exact import exact_duplicate_groups
+from dedup.operators.grouping import group_argmax_unique, grouped_top_k
+from dedup.textstats import (
+    bpe_ish_token_count_col,
+    fingerprint_col,
+    quality_score_col,
+    rolling_hash_col,
+    token_count_col,
+    lang_id_col,
+)
+
+CFG = DedupConfig(shuffle_partitions=32, conv_partitions=32)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.text is ASCII (checked) -> JVM-only normalize fast path,
+    # exactly expressible in the DuckDB oracle.
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_ascii_col("text", CFG).alias("norm_text")
+    )
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic derived corpus with planted exact dups: the documents
+    table unioned with a shifted-id copy of every 7th document."""
+    d = _norm_docs(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_normalize(spark, sf_dir):
+    return _norm_docs(spark, sf_dir)
+
+
+def q_exact_groups(spark, sf_dir):
+    return (
+        exact_duplicate_groups(_docs_with_dups(spark, sf_dir), "doc_id", "norm_text")
+        .select(
+            "representative",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("member_ids").cast("array<long>").alias("member_ids"),
+        )
+        .withColumn("member_ids", F.to_json("member_ids"))
+    )
+
+
+def q_ngram_df(spark, sf_dir):
+    d = _norm_docs(spark, sf_dir)
+    return (
+        d.select(F.explode(char_ngrams_col("norm_text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def q_word_idf(spark, sf_dir):
+    d = _norm_docs(spark, sf_dir)
+    n = d.count()
+    return (
+        d.select(F.explode(F.array_distinct(words_col("norm_text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 6))
+    )
+
+
+def q_jaccard_topk(spark, sf_dir):
+    """IDF-weighted char-3-gram Jaccard top-5 (reference formula,
+    match_maker.py:50) -- queries are every 10th doc, truth is all docs."""
+    from dedup.operators.match import jaccard_topk_candidates
+
+    d = _norm_docs(spark, sf_dir).withColumn(
+        "grams", char_ngrams_col("norm_text", 3)
+    )
+    queries = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), "norm_text", "grams"
+    )
+    truth = d.select(F.col("doc_id").alias("title_id"), "norm_text", "grams")
+    scored = jaccard_topk_candidates(queries, truth, CFG, top_n=1_000_000_000)
+    scored = scored.withColumn("score_r", F.round("score", 6))
+    top = grouped_top_k(
+        scored, ["query_id"], "score_r", 5, tiebreak_cols=["title_id"]
+    )
+    return top.select("query_id", "title_id", F.col("score_r").alias("score"))
+
+
+def q_dup_pairs(spark, sf_dir):
+    """Near-dup pairs at exact-Jaccard >= 0.8: LSH candidates verified by
+    exact shingle Jaccard. Oracle is brute-force all-pairs -- equality IS
+    the LSH-recall statement (P(miss) < 1e-7 at this (b, r))."""
+    from dedup.functions.similarity import minhash_estimate_col
+    from dedup.operators.verify import jaccard_gate_threshold
+
+    prep = prepare_docs(
+        _docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True
+    )
+    cand = candidate_pairs(prep, CFG).pairs
+    g = prep.select("doc_id", "gram_hashes", "minhash")
+    gate = jaccard_gate_threshold(CFG)
+    pairs = (
+        cand.join(
+            g.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("gram_hashes").alias("ga"),
+                F.col("minhash").alias("ma"),
+            ),
+            "id_a",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("gram_hashes").alias("gb"),
+                F.col("minhash").alias("mb"),
+            ),
+            "id_b",
+        )
+        # cheap signature-agreement gate before the exact set intersection
+        .filter(minhash_estimate_col("ma", "mb") >= F.lit(gate))
+        .withColumn("jaccard", F.round(exact_jaccard_col("ga", "gb"), 6))
+        .filter(F.col("jaccard") >= CFG.jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the q_dup_pairs edges; singleton docs keep
+    their own id. Oracle: recursive min-label propagation in SQL."""
+    pairs = q_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, CFG)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    return (
+        docs.join(cc, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("cluster_id", "node").alias("cluster_id"),
+        )
+    )
+
+
+def q_assemble_events(spark, sf_dir):
+    """input_hint-shaped transcripts derived from the events table
+    (conv = user, turn order = (ts, event_id)), assembled under stable turn
+    ordering -- the window-function assembly operator on driver data."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transcripts = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(":", "event_type", F.coalesce("props", F.lit(""))).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    out = assemble_conversations(transcripts, CFG)
+    return out.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"), "doc_text"
+    )
+
+
+def q_group_argmax(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = group_argmax_unique(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_orderkey"],
+        "l_extendedprice",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_grouped_topk(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = grouped_top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_orderkey"],
+        "l_extendedprice",
+        k=3,
+        tiebreak_cols=["l_linenumber"],
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+        fingerprint_col("text").alias("fingerprint"),
+        rolling_hash_col("text").alias("rhash"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(quality_score_col("text"), 6).alias("quality"),
+        lang_id_col("text").alias("lang_guess"),
+    )
+
+
+def q_knn(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --- hash-dependent / non-SQL ops: rows-only checks ------------------------
+
+def q_minhash_candidates(spark, sf_dir):
+    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True)
+    return candidate_pairs(prep, CFG).pairs
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-pairs via the pigeonhole chunk join (no crossJoin)."""
+    from dedup.operators.simhash_join import simhash_near_pairs
+
+    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True)
+    return simhash_near_pairs(
+        prep.select("doc_id", "simhash"),
+        max_hamming=CFG.simhash_hamming_threshold,
+    )
+
+
+def q_lev_verify(spark, sf_dir):
+    """Banded cost-2 Levenshtein re-rank over near-dup candidates (not
+    SQL-expressible in DuckDB: its levenshtein() is substitution-cost-1)."""
+    pairs = q_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    d = _norm_docs(spark, sf_dir)
+    return (
+        pairs.join(d.select(F.col("doc_id").alias("id_a"), F.col("norm_text").alias("ta")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"), F.col("norm_text").alias("tb")), "id_b")
+        .withColumn("lev_ratio", staged_levenshtein_ratio_col("ta", "tb", CFG))
+        .select("id_a", "id_b", "lev_ratio")
+    )
+
+
+def q_srp_near_dups(spark, sf_dir):
+    """SRP-bucketed embedding near-dup pairs. The driver corpus has no
+    high-cosine pairs (max ~0.51), so a deterministic derived corpus plants
+    them: every 5th vector gets a shifted-id duplicate -- the SRP join must
+    recover exactly those pairs (cosine 1.0), which the oracle enumerates
+    directly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.unionByName(copies)
+    out = srp_near_dup_pairs(corpus, cosine_threshold=0.95, dim=64, n_tables=6)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clusters of the sf0.001 documents corpus."""
+    return q_dup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "normalize": q_normalize,
+        "exact_dup_groups": q_exact_groups,
+        "ngram_doc_freq": q_ngram_df,
+        "word_idf": q_word_idf,
+        "idf_jaccard_topk": q_jaccard_topk,
+        "dup_pairs_jaccard": q_dup_pairs,
+        "dup_clusters": q_dup_clusters,
+        "assemble_events": q_assemble_events,
+        "group_argmax_unique": q_group_argmax,
+        "grouped_topk": q_grouped_topk,
+        "text_stats": q_text_stats,
+        "quality_lang": q_quality,
+        "knn_cosine_topk": q_knn,
+        "minhash_lsh_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "levenshtein_verify": q_lev_verify,
+        "srp_embedding_near_dups": q_srp_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(replace(lower(text), '-', ' '), "
+    "'[^a-z0-9 \\t\\n\\r]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+_NORM_CTE = f"norm as (select doc_id, {_NORM} as norm_text from documents)"
+
+_DUPS_CTE = (
+    f"{_NORM_CTE}, corpus as ("
+    "select doc_id, norm_text from norm "
+    "union all "
+    "select doc_id + 1000000 as doc_id, norm_text from norm where doc_id % 7 = 0)"
+)
+
+_GRAMS_CTE = (
+    "grams as (select doc_id, distinct_grams.gram from norm, "
+    "unnest(list_distinct([substring(norm_text, i, 3) "
+    "for i in range(1, length(norm_text) - 1)])) as distinct_grams(gram))"
+)
+
+_PAIRS_SQL = f"""
+with {_NORM_CTE}, {_GRAMS_CTE},
+sz as (select doc_id, count(*) as n from grams group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2
+),
+scored as (
+  select id_a, id_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 6) as jaccard
+  from inter
+  join sz sa on sa.doc_id = id_a
+  join sz sb on sb.doc_id = id_b
+)
+select id_a, id_b, jaccard from scored where jaccard >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize": f"select doc_id, {_NORM} as norm_text from documents",
+        "exact_dup_groups": f"""
+            with {_DUPS_CTE}
+            select min(doc_id) as representative,
+                   count(*) as group_size,
+                   to_json(list_sort(list(doc_id))) as member_ids
+            from corpus group by norm_text
+        """,
+        "ngram_doc_freq": f"""
+            with {_NORM_CTE}, {_GRAMS_CTE}
+            select gram, count(*) as df from grams group by gram
+        """,
+        "word_idf": f"""
+            with {_NORM_CTE},
+            words as (select doc_id, w.word from norm,
+                      unnest(list_distinct(string_split(norm_text, ' '))) as w(word)
+                      where w.word <> '')
+            select word, count(*) as df,
+                   round(ln((select count(*) from norm) * 1.0 / count(*)), 6) as idf
+            from words group by word
+        """,
+        "idf_jaccard_topk": f"""
+            with {_NORM_CTE}, {_GRAMS_CTE},
+            n as (select count(*) as n_truth from norm),
+            idf as (select gram, ln((select n_truth from n) * 1.0 / count(*)) as idf
+                    from grams group by gram),
+            sums as (select doc_id, sum(idf) as s from grams join idf using (gram) group by doc_id),
+            q as (select doc_id as query_id from norm where doc_id % 10 = 0),
+            inter as (
+              select a.doc_id as query_id, b.doc_id as title_id, sum(idf.idf) as i
+              from grams a join grams b on a.gram = b.gram
+              join idf on idf.gram = a.gram
+              where a.doc_id in (select query_id from q)
+              group by 1, 2
+            ),
+            scored as (
+              select query_id, title_id,
+                     round(i / (st.s + sq.s - i), 6) as score
+              from inter
+              join sums sq on sq.doc_id = query_id
+              join sums st on st.doc_id = title_id
+            ),
+            ranked as (
+              select *, row_number() over (partition by query_id
+                        order by score desc, title_id asc) as rn
+              from scored
+            )
+            select query_id, title_id, score from ranked where rn <= 5
+        """,
+        "dup_pairs_jaccard": _PAIRS_SQL,
+        "dup_clusters": f"""
+            with recursive {_NORM_CTE}, {_GRAMS_CTE},
+            sz as (select doc_id, count(*) as n from grams group by doc_id),
+            inter as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+              from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+              group by 1, 2
+            ),
+            edges as (
+              select id_a, id_b from inter
+              join sz sa on sa.doc_id = id_a join sz sb on sb.doc_id = id_b
+              where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+            ),
+            sym as (select id_a as u, id_b as v from edges
+                    union select id_b, id_a from edges),
+            labels(node, lbl) as (
+              select doc_id, doc_id from documents
+              union
+              select sym.u, min(l.lbl)
+              from sym join labels l on l.node = sym.v
+              group by sym.u
+            )
+            select node as doc_id, min(lbl) as cluster_id from labels group by node
+        """,
+        "assemble_events": """
+            with t as (
+              select cast(user_id as varchar) as conv_id,
+                     concat(event_type, ':', coalesce(props, '')) as text,
+                     ts, event_id
+              from events
+            )
+            select conv_id, count(*) as n_turns,
+                   string_agg(text, chr(10) order by ts, event_id) as doc_text
+            from t group by conv_id
+        """,
+        "group_argmax_unique": """
+            with mx as (
+              select l_orderkey, l_linenumber, l_extendedprice,
+                     max(l_extendedprice) over (partition by l_orderkey) as m
+              from lineitem
+            ),
+            top as (select l_orderkey, l_linenumber, l_extendedprice from mx
+                    where l_extendedprice = m),
+            counted as (select *, count(*) over (partition by l_orderkey) as c from top)
+            select l_orderkey, l_linenumber, l_extendedprice from counted where c = 1
+        """,
+        "grouped_topk": """
+            with ranked as (
+              select l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() over (partition by l_orderkey
+                       order by l_extendedprice desc, l_linenumber asc) as rn
+              from lineitem
+            )
+            select l_orderkey, l_linenumber, l_extendedprice from ranked where rn <= 3
+        """,
+        "text_stats": """
+            select doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) as n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_bpe_tokens,
+                   md5(text) as fingerprint,
+                   list_reduce(
+                     list_prepend(cast(0 as bigint),
+                       [cast(ord(text[i]) as bigint) for i in range(1, length(text) + 1)]),
+                     (acc, x) -> (acc * 31 + x) % 1000000007) as rhash
+            from documents
+        """,
+        "srp_embedding_near_dups": """
+            select vec_id as id_a, vec_id + 1000000 as id_b, 1.0 as cosine
+            from embeddings where vec_id % 5 = 0
+        """,
+        "knn_cosine_topk": """
+            with e2 as (select vec_id, cast(embedding as double[]) as embedding
+                        from embeddings),
+            q as (select vec_id as query_id, embedding as qv from e2
+                  where vec_id % 50 = 0),
+            scored as (
+              select q.query_id, e.vec_id as neighbor_id,
+                     round(list_dot_product(q.qv, e.embedding) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(e.embedding, e.embedding))), 6) as cosine
+              from q cross join e2 e
+            ),
+            ranked as (
+              select *, row_number() over (partition by query_id
+                        order by cosine desc, neighbor_id asc) as rn
+              from scored
+            )
+            select query_id, neighbor_id, cosine from ranked where rn <= 5
+        """,
+    }

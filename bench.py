@@ -1,0 +1,97 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline work:
+  * pipeline_dedup -- the full transcript dedup pipeline (assemble ->
+    prepare -> exact -> LSH -> verify -> cluster, with checkpoint writes)
+    on a deterministic synthetic corpus sized by sf; also reports
+    turns_per_sec, the BASELINE.json throughput metric.
+  * documents-corpus operators (LSH+verify pair finding, IDF-Jaccard
+    top-k, text stats, knn) on the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry
+    from dedup.config import DedupConfig
+    from dedup.generate import make_corpus
+    from dedup.pipeline import run_pipeline
+    from dedup.session import get_spark
+
+    config = DedupConfig(
+        shuffle_partitions=max(int(cpus) * 2, 8),
+        conv_partitions=max(int(cpus) * 2, 8),
+    )
+    spark = get_spark("bench", master=f"local[{cpus}]", config=config)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- full dedup pipeline on a synthetic transcript corpus ----
+    n_conv = max(int(20000 * sf), 200)
+    corpus = make_corpus(n_conversations=n_conv, seed=42)
+    n_turns = len(corpus.transcripts)
+    tdf = spark.createDataFrame(corpus.transcripts).cache()
+    tdf.count()
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    t0 = time.time()
+    run_pipeline(spark, tdf, wh, config)
+    secs = time.time() - t0
+    queries["pipeline_dedup"] = round(secs, 3)
+    extras["turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / secs, 1)
+    shutil.rmtree(wh, ignore_errors=True)
+    tdf.unpersist()
+
+    # ---- operator benchmarks on driver tables ----
+    for name in [
+        "dup_pairs_jaccard",
+        "idf_jaccard_topk",
+        "text_stats",
+        "knn_cosine_topk",
+        "dup_clusters",
+        "assemble_events",
+    ]:
+        fn = entry.queries()[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_and_operators_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": int(cpus),
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

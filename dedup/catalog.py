@@ -27,7 +27,6 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-import pyspark.sql.functions as F
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -119,23 +118,26 @@ class CheckpointCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(staging)
 
-        # per-partition lineage: row counts keyed by output file
-        back = self.spark.read.parquet(staging)
-        per_file = (
-            back.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
-        partition_rows = {
-            os.path.basename(r["file"].split("?")[0]): r["count"] for r in per_file
-        }
+        # per-partition lineage from the parquet FOOTERS -- row counts are
+        # free metadata, no data re-scan. (With a real Iceberg catalog the
+        # snapshot manifests carry these counts natively.)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        partition_rows = {}
+        for f in sorted(
+            _glob.glob(os.path.join(staging, "**", "part-*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(f, staging)
+            partition_rows[rel] = _pq.ParquetFile(f).metadata.num_rows
         rows = sum(partition_rows.values())
         manifest = {
             "table": name,
             "stage": stage or name,
             "run_id": self.run_id,
             "config_fingerprint": self.config_fingerprint,
-            "schema": back.schema.jsonValue(),
+            "schema": df.schema.jsonValue(),
             "rows": rows,
             "partition_rows": partition_rows,
             "committed_at_unix": time.time(),

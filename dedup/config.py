@@ -45,6 +45,10 @@ class DedupConfig:
     # SimHash hamming-distance threshold for the containment/long-span path.
     simhash_bits: int = 64
     simhash_hamming_threshold: int = 3
+    # MinHash-estimate pre-gate: skip exact set intersection when the
+    # signature agreement sits more than this many binomial sigmas below
+    # jaccard_threshold (4.5 sigma ~= 3e-6 false-skip per true pair).
+    minhash_gate_sigmas: float = 4.5
 
     # --- candidate-generation scale controls ---
     # A band group larger than this is boilerplate, not near-dup signal:

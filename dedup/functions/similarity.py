@@ -186,9 +186,23 @@ def staged_levenshtein_ratio_col(
 
 
 def exact_jaccard_col(grams_a: Column | str, grams_b: Column | str) -> Column:
-    """Plain set Jaccard on two shingle arrays -- native columns only."""
+    """Plain set Jaccard on two shingle arrays -- native columns only.
+    Works on the string grams or (faster) the xxhash64'd gram arrays; the
+    value is identical absent 64-bit hash collisions."""
     ga = F.col(grams_a) if isinstance(grams_a, str) else grams_a
     gb = F.col(grams_b) if isinstance(grams_b, str) else grams_b
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = (F.size(ga) + F.size(gb)).cast("double") - inter
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_estimate_col(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """Estimated Jaccard = fraction of agreeing MinHash signature slots --
+    native zip_with/filter over two array<bigint>, far cheaper than exact
+    set intersection on the full shingle arrays. Used as a pre-gate so the
+    exact verification only runs on plausible pairs (binomial error
+    ~ sqrt(j(1-j)/k), so gate at threshold - 4.5 sigma for ~1e-6 miss)."""
+    sa = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    sb = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    agree = F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v))
+    return agree.cast("double") / F.size(sa).cast("double")

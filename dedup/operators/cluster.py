@@ -68,31 +68,32 @@ def connected_components(
     """Edge list -> (node, cluster_id) with cluster_id = min node id of the
     component. Nodes appearing only in ``edges``; callers union singleton
     docs afterwards (pipeline does)."""
+    def _stats(df):
+        # fixpoint probe: edge-set count + order-insensitive hash-sum of
+        # the canonical pairs -- one tiny agg job per round.
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        ).first()
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    prev = _stats(e)
     for _ in range(config.cc_max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # fixpoint: the edge multiset is stable. Cheap O(1)-driver check:
-        # count + order-insensitive hash-sum of the canonical pairs.
-        def _stats(df):
-            return df.select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst")).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias("h"),
-            ).first()
-
-        stats_new = _stats(e2)
-        stats_old = _stats(e)
+        cur = _stats(e2)
         e = e2
-        if stats_new["n"] == stats_old["n"] and stats_new["h"] == stats_old["h"]:
+        if cur["n"] == prev["n"] and cur["h"] == prev["h"]:
             break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {config.cc_max_iterations} rounds"

@@ -10,20 +10,26 @@ IDF-weighted Jaccard the MatchMaker scores with
 population is LSH candidates instead of top-100-per-query, and verification
 emits a typed ``tier`` so downstream accounting can attribute every edge.
 
-Verification ladder per pair (cheapest first, each gate native-column where
-possible so Catalyst filters before the Python UDF):
-  1. exact shingle-set Jaccard (``array_intersect`` -- JVM) >= jaccard_threshold
-     => verified (tier 'jaccard').
-  2. else if SimHash hamming distance (bit_count(a^b) -- JVM) <=
-     simhash_hamming_threshold => verified (tier 'simhash'): catches
-     long-span containment / boilerplate-heavy dups where set Jaccard
-     dilutes but the weighted-bit sketch stays close.
-  3. else if deletion-ratio gate passes, the banded Levenshtein re-rank
-     (pandas UDF) > lev_threshold => verified (tier 'levenshtein').
+Verification ladder per pair (cheapest first, every gate native-column so
+Catalyst filters before the one Python UDF):
+  0. MinHash-estimate pre-gate (zip_with agreement over the signatures the
+     pair already carries) decides whether the exact set intersection is
+     worth computing at all -- on high-background-similarity corpora this
+     is the difference between O(candidates) cheap ops and O(candidates)
+     array intersections.
+  1. exact shingle-set Jaccard on the xxhash64 gram arrays
+     (``array_intersect`` -- JVM) >= jaccard_threshold => tier 'jaccard'.
+  2. SimHash hamming distance (bit_count(a^b) -- JVM) <=
+     simhash_hamming_threshold => tier 'simhash': catches long-span
+     containment / boilerplate-heavy dups where set Jaccard dilutes.
+  3. deletion-ratio length gate (native), then the banded Levenshtein
+     re-rank (pandas UDF) > lev_threshold => tier 'levenshtein'.
 Pairs failing all gates are dropped.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
@@ -32,9 +38,17 @@ from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.similarity import (
     deletion_ratio_col,
     exact_jaccard_col,
+    minhash_estimate_col,
     staged_levenshtein_ratio_col,
 )
 from dedup.functions.sketch import hamming_col
+
+
+def jaccard_gate_threshold(config: DedupConfig) -> float:
+    """Estimate-gate cut: threshold - sigmas * binomial sd at the threshold."""
+    j = config.jaccard_threshold
+    sd = math.sqrt(max(j * (1 - j), 1e-9) / config.num_perm)
+    return max(0.0, j - config.minhash_gate_sigmas * sd)
 
 
 def verify_pairs(
@@ -45,30 +59,38 @@ def verify_pairs(
     """(id_a, id_b) candidates x prepared docs -> verified edges
     (id_a, id_b, jaccard, hamming, lev_ratio, tier).
 
-    Join strategy: two joins against ``prepared`` (doc_id, norm_text,
-    grams, simhash). ``prepared`` at 10^12-turn scale is large, so these
-    are shuffle hash joins on doc_id; at bench scale AQE broadcasts. The
-    wide ``grams`` arrays are needed for exact Jaccard -- they ride the
-    join, then drop immediately after the (JVM-side) Jaccard column."""
-    side = prepared.select("doc_id", "norm_text", "grams", "simhash")
+    Join strategy: two shuffle hash joins against ``prepared`` on doc_id
+    (AQE broadcasts at low SF). The wide gram-hash arrays ride the join for
+    the (gated) exact Jaccard, then drop immediately."""
+    side = prepared.select("doc_id", "norm_text", "gram_hashes", "minhash", "simhash")
     a = side.select(
         F.col("doc_id").alias("id_a"),
         F.col("norm_text").alias("text_a"),
-        F.col("grams").alias("grams_a"),
+        F.col("gram_hashes").alias("gh_a"),
+        F.col("minhash").alias("mh_a"),
         F.col("simhash").alias("sim_a"),
     )
     b = side.select(
         F.col("doc_id").alias("id_b"),
         F.col("norm_text").alias("text_b"),
-        F.col("grams").alias("grams_b"),
+        F.col("gram_hashes").alias("gh_b"),
+        F.col("minhash").alias("mh_b"),
         F.col("simhash").alias("sim_b"),
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
 
-    scored = joined.withColumn(
-        "jaccard", exact_jaccard_col("grams_a", "grams_b")
-    ).withColumn("hamming", hamming_col("sim_a", "sim_b")).drop(
-        "grams_a", "grams_b", "sim_a", "sim_b"
+    gate = jaccard_gate_threshold(config)
+    scored = (
+        joined.withColumn("est", minhash_estimate_col("mh_a", "mh_b"))
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("est") >= F.lit(gate),
+                exact_jaccard_col("gh_a", "gh_b"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("hamming", hamming_col("sim_a", "sim_b"))
+        .drop("gh_a", "gh_b", "mh_a", "mh_b", "sim_a", "sim_b", "est")
     )
 
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)

@@ -1,0 +1,69 @@
+"""Incremental dedup: appended near-dup conversations must link to their
+existing originals without re-sketching the corpus; streaming wrapper runs
+the same path via foreachBatch."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dedup.generate import make_corpus, misspell
+from dedup.incremental import incremental_dedup
+from dedup.operators.assemble import assemble_conversations
+from dedup.operators.candidates import prepare_docs
+
+
+def test_incremental_links_new_to_existing(spark, config):
+    corpus = make_corpus(n_conversations=40, dup_fraction=0.0, seed=55)
+    src = spark.createDataFrame(corpus.transcripts)
+    existing = prepare_docs(
+        assemble_conversations(src, config), "conv_id", "doc_text", config
+    ).cache()
+    existing.count()
+
+    # new batch: near-dup copies of two existing conversations + one novel
+    import random
+
+    rng = random.Random(9)
+    base = corpus.transcripts[corpus.transcripts.conv_id.isin(["c0000003", "c0000007"])]
+    newbie = base.copy()
+    newbie["conv_id"] = "x" + newbie["conv_id"]
+    newbie["text"] = [misspell(rng, t) for t in newbie["text"]]
+    novel = corpus.transcripts[corpus.transcripts.conv_id == "c0000001"].copy()
+    novel["conv_id"] = "znovel"
+    novel["text"] = ["completely different content about nothing shared"] * len(novel)
+    batch = spark.createDataFrame(
+        __import__("pandas").concat([newbie, novel], ignore_index=True)
+    )
+
+    res = incremental_dedup(batch, existing, config, broadcast_new=True)
+    edges = {(r["id_a"], r["id_b"]) for r in res.verified_pairs.collect()}
+    flat = {x for e in edges for x in e}
+    assert {"xc0000003", "c0000003"} <= flat
+    assert {"xc0000007", "c0000007"} <= flat
+    assert ("c0000003", "xc0000003") in edges or ("xc0000003", "c0000003") in edges
+    assert "znovel" not in flat
+    assert res.new_prepared.count() == 3
+
+
+def test_streaming_dedup_available_now(spark, config, tmp_path):
+    from dedup.streaming import read_transcript_stream, start_streaming_dedup
+
+    corpus = make_corpus(n_conversations=25, dup_fraction=0.4, seed=77)
+    # input_hint schema: turn_idx is int32
+    src = spark.createDataFrame(corpus.transcripts).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    in_dir = str(tmp_path / "in")
+    src.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    wh = str(tmp_path / "wh")
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
+    q = start_streaming_dedup(
+        spark, stream, wh, config, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    corpus_prepared = spark.read.parquet(f"{wh}/corpus_prepared")
+    assert corpus_prepared.count() > 0
+    edges = spark.read.parquet(f"{wh}/stream_edges")
+    # at least the exact duplicates planted in the corpus must surface
+    assert edges.count() > 0
