@@ -105,7 +105,7 @@ def q_jaccard_topk(spark, sf_dir):
 
     d = _norm_docs(spark, sf_dir).withColumn(
         "grams", char_ngrams_col("norm_text", 3)
-    )
+    ).cache()  # shared by query side, truth side, and the idf agg
     queries = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("query_id"), "norm_text", "grams"
     )
@@ -127,7 +127,7 @@ def q_dup_pairs(spark, sf_dir):
 
     prep = prepare_docs(
         _docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True
-    )
+    ).cache()  # feeds the LSH branch and both pair-join sides
     cand = candidate_pairs(prep, CFG).pairs
     g = prep.select("doc_id", "gram_hashes", "minhash")
     gate = jaccard_gate_threshold(CFG)
@@ -252,7 +252,7 @@ def q_knn(spark, sf_dir):
 # --- hash-dependent / non-SQL ops: rows-only checks ------------------------
 
 def q_minhash_candidates(spark, sf_dir):
-    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True)
+    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True).cache()
     return candidate_pairs(prep, CFG).pairs
 
 

@@ -37,6 +37,17 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     single.add_argument("--title", required=True)
     single.add_argument("--truth", required=True, help="parquet with (title_id, title)")
+
+    match = sub.add_parser(
+        "match-titles",
+        help="full matching cascade: queries vs truth -> sorted CSV "
+        "(reference generate-predictions analog, cli.py:52-61)",
+    )
+    match.add_argument("--truth", required=True, help="CSV (company_id|name) or parquet (title_id, title)")
+    match.add_argument("--queries", required=True, help="CSV (test_index|name) or parquet (query_id, title)")
+    match.add_argument("--out", required=True, help="output CSV directory")
+    match.add_argument("--actuals", default=None, help="optional parquet (query_id, expected_title_id) for accuracy")
+    match.add_argument("--delimiter", default="|")
     return p
 
 
@@ -90,6 +101,33 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "match-titles":
+        from dedup.io import (
+            TEST_MAPPING,
+            TRUTH_MAPPING,
+            read_titles_csv,
+            write_predictions_csv,
+        )
+        from dedup.operators.match import match_titles
+
+        def load(path, mapping):
+            if path.endswith(".csv") or path.endswith(".csv.gz"):
+                return read_titles_csv(spark, path, mapping, args.delimiter)
+            return spark.read.parquet(path)
+
+        truth = load(args.truth, TRUTH_MAPPING)
+        queries = load(args.queries, TEST_MAPPING)
+        preds = match_titles(queries.select("query_id", "title"), truth, config)
+        write_predictions_csv(preds, args.out, args.delimiter)
+        result = {"out": args.out, "queries": queries.count()}
+        if args.actuals:
+            from dedup.operators.evaluate import prediction_accuracy
+
+            acc = prediction_accuracy(preds, spark.read.parquet(args.actuals))
+            result["accuracy"] = acc.asDict()
+        print(json.dumps(result))
         return 0
 
     if args.cmd == "closest-single":

@@ -49,6 +49,17 @@ class DedupConfig:
     # signature agreement sits more than this many binomial sigmas below
     # jaccard_threshold (4.5 sigma ~= 3e-6 false-skip per true pair).
     minhash_gate_sigmas: float = 4.5
+    # Levenshtein-path estimate gate: a pair with ratio > T has indel
+    # distance d < (1-T/100)(la+lb); each edit disturbs <= k_shingle grams,
+    # so its shingle Jaccard is at least roughly
+    #   (L - k*d) / (L + k*d)  with  L ~= min gram count,
+    # ~0.47 at T=94, k=3. Pairs whose MinHash estimate sits below
+    # lev_est_gate (= that bound minus sampling slack) cannot pass the
+    # Levenshtein tier and skip the expensive DP entirely.
+    lev_est_gate: float = 0.33
+    # partitions for the Levenshtein UDF stage: byte-tiny but CPU-heavy, so
+    # AQE's size-based coalescing would serialize it; repartition explicitly.
+    lev_partitions: int = 64
 
     # --- candidate-generation scale controls ---
     # A band group larger than this is boilerplate, not near-dup signal:

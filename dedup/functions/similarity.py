@@ -42,32 +42,23 @@ from dedup.config import DedupConfig, DEFAULT_CONFIG
 # indel distance (Levenshtein with substitution cost 2 == lx+ly-2*LCS)
 # ---------------------------------------------------------------------------
 
-def _indel_distance(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> int:
-    """Distance between two uint8/int code arrays with unit indel cost and
-    substitution forbidden (cost 2 via delete+insert). Row-vectorized numpy
-    DP; early-exits with ``dmax+1`` once the running row minimum exceeds
-    ``dmax`` (threshold banding)."""
+_INF = np.int32(np.iinfo(np.int32).max // 2)
+
+
+def _indel_full(a: np.ndarray, b: np.ndarray, dmax: int | None) -> int:
+    """Full-width row-vectorized DP (used when the band covers the row)."""
     la, lb = len(a), len(b)
-    if la == 0 or lb == 0:
-        return la + lb
-    if la < lb:  # iterate over the shorter string's rows
-        a, b, la, lb = b, a, lb, la
-    if dmax is not None and la - lb > dmax:
-        return dmax + 1
     prev = np.arange(lb + 1, dtype=np.int32)
     cur = np.empty(lb + 1, dtype=np.int32)
     idx = np.arange(lb, dtype=np.int32)
-    sentinel = np.int32(np.iinfo(np.int32).max // 2)
     for i in range(1, la + 1):
         cur[0] = i
-        eq = b == a[i - 1]
         # no substitution: cur[j] = min(prev[j]+1, cur[j-1]+1, prev[j-1] if eq)
         # the cur[j-1] dependency is sequential; resolve with the standard
         # prefix-min trick: m[j] = min(prev[j]+1, match[j]); then
         # cur[j] = min over k<=j of (m[k] + (j-k)) = prefix-scan min.
-        match = np.where(eq, prev[:-1], sentinel)
+        match = np.where(b == a[i - 1], prev[:-1], _INF)
         m = np.minimum(prev[1:] + np.int32(1), match)
-        # prefix scan: cur[j] = min(m[j], cur[j-1]+1)
         np.minimum.accumulate(m - idx, out=cur[1:])
         cur[1:] += idx
         cur[1:] = np.minimum(cur[1:], cur[0] + idx + np.int32(1))
@@ -75,6 +66,106 @@ def _indel_distance(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> in
             return dmax + 1
         prev, cur = cur, prev
     return int(prev[lb])
+
+
+def _indel_banded(a: np.ndarray, b: np.ndarray, w: int) -> int:
+    """Diagonal-banded DP: any cell with |i-j| > w costs > w (indel cost is
+    at least the diagonal offset), so only the band is computed -- per-row
+    work O(w) instead of O(lb)."""
+    la, lb = len(a), len(b)
+    prev = np.full(lb + 2, _INF, dtype=np.int32)
+    cur = np.full(lb + 2, _INF, dtype=np.int32)
+    hi0 = min(lb, w)
+    prev[: hi0 + 1] = np.arange(hi0 + 1, dtype=np.int32)
+    for i in range(1, la + 1):
+        jlo = max(1, i - w)
+        jhi = min(lb, i + w)
+        if jlo > jhi:
+            return w + 1
+        n = jhi - jlo + 1
+        idx = np.arange(n, dtype=np.int32)
+        eq = b[jlo - 1 : jhi] == a[i - 1]
+        match = np.where(eq, prev[jlo - 1 : jhi], _INF)
+        m = np.minimum(prev[jlo : jhi + 1] + np.int32(1), match)
+        t = m - idx
+        seed = np.int32(i + 1 - 0) if jlo == 1 else _INF  # cur[0]=i -> cur[1] path
+        t[0] = min(t[0], seed)
+        np.minimum.accumulate(t, out=t)
+        cur[jlo : jhi + 1] = t + idx
+        # out-of-band boundary cells must read as INF next row
+        cur[jlo - 1] = np.int32(i) if jlo == 1 else _INF
+        cur[jhi + 1] = _INF
+        if int(cur[jlo : jhi + 1].min()) > w:
+            return w + 1
+        prev, cur = cur, prev
+    return int(prev[lb]) if prev[lb] <= w else w + 1
+
+
+def _indel_bitparallel(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact indel distance via bit-parallel LCS (Crochemore, Iliopoulos,
+    Pinzon & Reid 2001): one big-int add/and/or triple per row of ``a``
+    over an |b|-bit vector -- O(|a| * |b|/w) word ops with w = machine-int
+    limb width, ~3ms for a 4000x4000 pair regardless of similarity. Used
+    when the banded numpy DP's worst case (high-LCS-density pairs defeat
+    its early exit) would be slower. dist = |a| + |b| - 2*LCS."""
+    m = len(b)
+    pm: dict[int, int] = {}
+    bit = 1
+    for c in bytes(b):
+        pm[c] = pm.get(c, 0) | bit
+        bit <<= 1
+    v = (1 << m) - 1
+    full = v
+    for c in bytes(a):
+        u = v & pm.get(c, 0)
+        v = (v + u) | (v - u)
+    lcs = m - (v & full).bit_count()
+    return len(a) + len(b) - 2 * lcs
+
+
+# numpy-DP work estimate above which the bit-parallel kernel wins
+_BITPARALLEL_CROSSOVER = 100_000
+
+
+def _indel_distance(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> int:
+    """Distance between two uint8/int code arrays with unit indel cost and
+    substitution forbidden (cost 2 via delete+insert == python-Levenshtein
+    ratio() distance). Common affixes stripped first; then the cheaper of
+    the diagonal-banded numpy DP (short strings / narrow bands) and the
+    bit-parallel LCS kernel (long strings)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    # strip common prefix/suffix (edit distance is invariant to shared
+    # affixes) -- near-duplicate pairs, the hot case of the verify tier,
+    # collapse to a tiny middle section.
+    n = min(la, lb)
+    neq = a[:n] != b[:n]
+    pre = int(np.argmax(neq)) if neq.any() else n
+    a, b = a[pre:], b[pre:]
+    la, lb = la - pre, lb - pre
+    n = min(la, lb)
+    if n:
+        neq = a[la - n :][::-1] != b[lb - n :][::-1]
+        suf = int(np.argmax(neq)) if neq.any() else n
+        if suf:
+            a, b = a[: la - suf], b[: lb - suf]
+            la, lb = la - suf, lb - suf
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:  # iterate over the longer string's rows
+        a, b, la, lb = b, a, lb, la
+    if dmax is not None and la - lb > dmax:
+        return dmax + 1
+    width = lb if dmax is None else min(2 * dmax + 1, lb)
+    if la * width > _BITPARALLEL_CROSSOVER:
+        d = _indel_bitparallel(a, b)
+        if dmax is not None and d > dmax:
+            return dmax + 1
+        return d
+    if dmax is not None and 2 * dmax < lb:
+        return _indel_banded(a, b, dmax)
+    return _indel_full(a, b, dmax)
 
 
 def indel_distance_str(x: str, y: str, dmax: int | None = None) -> int:

@@ -91,12 +91,16 @@ def candidate_pairs(
     -> canonical pair dedup. The self-join is an equi hash join on
     (band_idx, band_hash[, salt]); AQE may broadcast the smaller side at
     low SF and splits skewed partitions at high SF."""
+    # The band postings feed MANY branches (size accounting, skew ledger,
+    # and four join sides) -- cache them so the sketch-UDF explode runs
+    # once, not once per branch. On a cluster this is the natural stage to
+    # checkpoint instead (the pipeline checkpoints its parent 'prepared').
     bands = prepared.select(
         "doc_id",
         F.posexplode(band_hashes_udf("minhash", config)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).persist()
 
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("group_size")
@@ -116,6 +120,7 @@ def candidate_pairs(
             how="inner",
         )
         .select("band_idx", "band_hash", "doc_id", "group_size")
+        .persist()
     )
 
     # Split skew-join: groups under the hotness threshold take a plain

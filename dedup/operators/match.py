@@ -78,7 +78,11 @@ def jaccard_topk_candidates(
     Inputs must carry (query_id|title_id, norm_text, grams). Returns
     (query_id, title_id, score)."""
     top_n = top_n or config.top_n_predict
-    idf = truth_idf(truth, config)
+    # idf is small (one row per distinct gram with df >= 1) and is joined
+    # THREE times (query side, truth side, and transitively the sums);
+    # cache it so the distributed agg runs once. At corpus scale this table
+    # is still only |distinct grams| rows -- broadcastable.
+    idf = truth_idf(truth, config).cache()
     max_idf = idf.agg(F.max("idf")).first()[0]
 
     q_grams = queries.select(
@@ -120,11 +124,19 @@ def match_titles(
     """Full cascade. queries_raw: (query_id, title); truth_raw:
     (title_id, title). Returns (query_id, title_id, prediction, tier) with
     title_id = -1 for unmatched."""
-    queries = _with_norm_and_grams(queries_raw, "title", config).select(
-        "query_id", "norm_text", "grams"
+    # normalized+shingled sides feed multiple cascade tiers (exact join,
+    # candidate gen, close-match re-join, finalize anti-join): cache both
+    # so normalization runs once per row. (The pipeline equivalent is the
+    # checkpointed 'prepared' stage table.)
+    queries = (
+        _with_norm_and_grams(queries_raw, "title", config)
+        .select("query_id", "norm_text", "grams")
+        .cache()
     )
-    truth = _with_norm_and_grams(truth_raw, "title", config).select(
-        "title_id", "norm_text", "grams"
+    truth = (
+        _with_norm_and_grams(truth_raw, "title", config)
+        .select("title_id", "norm_text", "grams")
+        .cache()
     )
 
     # ---- tier 1: exact (predict.py:97-113). The reference probes a dict
