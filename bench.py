@@ -46,7 +46,9 @@ def main():
     extras: dict[str, float] = {}
 
     # ---- full dedup pipeline on a synthetic transcript corpus ----
-    n_conv = max(int(20000 * sf), 200)
+    n_conv = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", max(int(20000 * sf), 200))
+    )
     corpus = make_corpus(n_conversations=n_conv, seed=42)
     n_turns = len(corpus.transcripts)
     tdf = spark.createDataFrame(corpus.transcripts).cache()

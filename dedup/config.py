@@ -72,6 +72,14 @@ class DedupConfig:
     # join plainly (salting everything would n_salt-x the shuffle volume)
     salt_hot_threshold: int = 32
 
+    # --- long-span containment (windowed sketches + substring verify) ---
+    containment_enabled: bool = True
+    containment_window: int = 256      # grams per window sketch
+    containment_stride: int = 128
+    containment_min_grams: int = 64    # shorter docs are noise, skip
+    containment_threshold: float = 0.9  # |short ∩ long| / |short|
+    containment_lcs_ratio: float = 0.8  # LCS-substring / len(short) fallback
+
     # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
     top_n_predict: int = 100
     top_n_train: int = 10
@@ -83,6 +91,9 @@ class DedupConfig:
 
     # --- clustering ---
     cc_max_iterations: int = 50
+    # edge sets at or under this size use the driver union-find fast path;
+    # 0 disables it (always distributed star-contraction)
+    cc_driver_threshold: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

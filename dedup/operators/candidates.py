@@ -52,6 +52,10 @@ def prepare_docs(
         if ascii_fast_path
         else normalize_text_col(text_col, config)
     )
+    # CPU-heavy (3 UDF/sketch passes per row) but often byte-small input
+    # (a checkpointed assembled table is a handful of parquet files):
+    # repartition explicitly or the whole stage runs in 1-2 tasks.
+    docs = docs.repartition(config.conv_partitions, id_col)
     out = (
         docs.withColumn("norm_text", norm)
         .withColumn(

@@ -59,6 +59,41 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relabeled
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges, union-find on the driver, one
+    job in, one createDataFrame out. An LSH dedup graph is tiny relative to
+    the corpus (edges ~ #duplicates), so even billion-doc runs often land
+    here; the star-contraction path exists for when it doesn't."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.toLocalIterator():
+        a, b = row["src"], row["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id order => root is the minimum, canonical labels free
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    schema_type = edges.schema["src"].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"node {schema_type}, cluster_id {schema_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
@@ -67,7 +102,12 @@ def connected_components(
 ) -> DataFrame:
     """Edge list -> (node, cluster_id) with cluster_id = min node id of the
     component. Nodes appearing only in ``edges``; callers union singleton
-    docs afterwards (pipeline does)."""
+    docs afterwards (pipeline does).
+
+    Hybrid strategy: edge sets under ``cc_driver_threshold`` take a
+    driver-side union-find (one collect, no iteration -- a dedup edge set
+    is O(#dups), usually tiny next to the corpus); larger graphs run the
+    distributed large-star/small-star loop."""
     def _stats(df):
         # fixpoint probe: edge-set count + order-insensitive hash-sum of
         # the canonical pairs -- one tiny agg job per round.
@@ -86,6 +126,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if config.cc_driver_threshold and e.count() <= config.cc_driver_threshold:
+        return _driver_union_find(e)
     prev = _stats(e)
     for _ in range(config.cc_max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()

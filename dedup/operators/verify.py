@@ -125,8 +125,12 @@ def verify_pairs(
         .withColumn("jaccard", exact_jaccard_col("gh_a", "gh_b"))
         .select("id_a", "id_b", "jaccard")
     )
-    scored = p1.join(jac, ["id_a", "id_b"], "left").withColumn(
-        "jaccard", F.coalesce("jaccard", F.lit(0.0))
+    # checkpoint again: both output branches (sketch-verified, lev) read
+    # ``scored``; leaving it lazy recomputes the jac join per branch.
+    scored = (
+        p1.join(jac, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        .localCheckpoint()
     )
 
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)

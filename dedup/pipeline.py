@@ -36,6 +36,7 @@ STAGES = [
     "candidate_pairs",
     "band_skew",
     "verified_pairs",
+    "containment_pairs",
     "clusters",
 ]
 
@@ -113,10 +114,27 @@ def run_pipeline(
     )
     report.stages.append(r)
 
+    containment = None
+    if config.containment_enabled:
+        from dedup.operators.containment import (
+            containment_candidates,
+            verify_containment,
+        )
+
+        containment, r = cat.write_or_resume(
+            "containment_pairs",
+            lambda: verify_containment(
+                containment_candidates(reps, config), reps, config
+            ),
+        )
+        report.stages.append(r)
+
     def _clusters():
         near_edges = verified.select("id_a", "id_b")
         exact_edges = exact_duplicate_pairs(exact_groups).select("id_a", "id_b")
         edges = near_edges.unionByName(exact_edges)
+        if containment is not None:
+            edges = edges.unionByName(containment.select("id_a", "id_b"))
         cc = connected_components(edges, config)
         # singletons: docs in no edge get their own cluster
         all_docs = prepared.select(F.col("doc_id").alias("node"))

@@ -8,9 +8,13 @@ import pytest
 from dedup.operators.cluster import connected_components
 
 
-def _cc(spark, config, edges):
+def _cc(spark, config, edges, driver_path=False):
+    # default: force the DISTRIBUTED star-contraction path (the adversarial
+    # graphs here exist to prove its convergence); driver_path=True takes
+    # the small-graph union-find fast path instead.
+    cfg = config.with_(cc_driver_threshold=10**9 if driver_path else 0)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    rows = connected_components(df, config).collect()
+    rows = connected_components(df, cfg).collect()
     return {r["node"]: r["cluster_id"] for r in rows}
 
 
@@ -37,6 +41,16 @@ def test_bridged_cliques_and_noise_edges(spark, config):
     assert set(got.values()) == {10}
     iso = _cc(spark, config, c1 + c2 + noise)  # no bridge -> two components
     assert set(iso.values()) == {10, 20}
+
+
+def test_driver_union_find_matches_distributed(spark, config):
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(400)]
+    dist = _cc(spark, config, edges, driver_path=False)
+    drv = _cc(spark, config, edges, driver_path=True)
+    assert dist == drv
 
 
 def test_string_node_ids(spark, config):

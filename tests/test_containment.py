@@ -1,0 +1,98 @@
+"""Long-span containment path: windowed-sketch candidates + containment /
+LCS-substring verification (the north_rule suffix-array substring tier)."""
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from dedup.config import DedupConfig
+from dedup.generate import _random_text
+from dedup.operators.candidates import prepare_docs
+from dedup.operators.containment import (
+    containment_candidates,
+    lcs_substring_len,
+    verify_containment,
+)
+
+
+def test_lcs_substring_kernel():
+    assert lcs_substring_len("abcdef", "zzabczz") == 3
+    assert lcs_substring_len("abc", "abc") == 3
+    assert lcs_substring_len("abc", "xyz") == 0
+    assert lcs_substring_len("", "abc") == 0
+    # embedded long span
+    inner = "the quick brown fox jumps over the lazy dog"
+    outer = "prefix " * 10 + inner + " suffix" * 10
+    assert lcs_substring_len(inner, outer) == len(inner)
+
+
+@pytest.fixture(scope="module")
+def contain_corpus(spark, config):
+    rng = random.Random(123)
+    rows = []
+    # short docs; two of them get embedded into long containers
+    shorts = {f"s{i}": _random_text(rng, 60) for i in range(6)}
+    for cid, text in shorts.items():
+        rows.append((cid, text))
+    filler = lambda: _random_text(rng, 250)
+    rows.append(("L0", filler() + " " + shorts["s0"] + " " + filler()))
+    rows.append(("L1", shorts["s1"] + " " + filler() + " " + filler()))
+    rows.append(("L2", filler() + " " + filler()))  # container with no dup
+    df = spark.createDataFrame(rows, "conv_id string, doc_text string")
+    # containment needs window-scale docs: small window config for the test
+    cfg = config.with_(
+        containment_window=64, containment_stride=32, containment_min_grams=32
+    )
+    prep = prepare_docs(df, "conv_id", "doc_text", cfg).cache()
+    prep.count()
+    return prep, cfg
+
+
+def test_containment_candidates_surface_planted(spark, contain_corpus):
+    prep, cfg = contain_corpus
+    cands = {
+        (r["id_short"], r["id_long"])
+        for r in containment_candidates(prep, cfg).collect()
+    }
+    assert ("s0", "L0") in cands
+    assert ("s1", "L1") in cands
+
+
+def test_containment_verify(spark, contain_corpus):
+    prep, cfg = contain_corpus
+    edges = verify_containment(containment_candidates(prep, cfg), prep, cfg)
+    got = {(r["id_a"], r["id_b"]): r for r in edges.collect()}
+    assert ("L0", "s0") in got and got[("L0", "s0")]["containment"] >= 0.9
+    assert ("L1", "s1") in got
+    # the no-dup container never links to an unrelated short doc
+    assert not any("L2" in k for k in got)
+    assert all(r["tier"] == "containment" for r in got.values())
+
+
+def test_pipeline_links_containment_cluster(spark, config, tmp_path):
+    """End-to-end: a conversation fully embedded in a longer one lands in
+    the same cluster."""
+    import pandas as pd
+    from datetime import datetime
+    from dedup.pipeline import run_pipeline
+
+    rng = random.Random(5)
+    short_turns = [_random_text(rng, 40) for _ in range(3)]
+    long_turns = [_random_text(rng, 120)] + short_turns + [_random_text(rng, 120)]
+    other = [_random_text(rng, 50) for _ in range(3)]
+    rows = []
+    for cid, turns in [("short", short_turns), ("longer", long_turns), ("other", other)]:
+        for i, t in enumerate(turns):
+            rows.append((cid, i, "user", t, None, datetime(2026, 1, 1)))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+    cfg = config.with_(
+        containment_window=64, containment_stride=32, containment_min_grams=32
+    )
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, tdf, wh, cfg)
+    got = {r["conv_id"]: r["cluster_id"] for r in spark.read.parquet(f"{wh}/clusters").collect()}
+    assert got["short"] == got["longer"]
+    assert got["other"] != got["short"]

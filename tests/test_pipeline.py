@@ -39,7 +39,7 @@ def test_recall_and_precision(spark, config, corpus, tmp_path_factory):
     report = run_pipeline(spark, spark.createDataFrame(corpus.transcripts), wh, config)
     assert [s.table for s in report.stages] == [
         "assembled", "prepared", "exact_groups", "candidate_pairs",
-        "verified_pairs", "clusters",
+        "verified_pairs", "containment_pairs", "clusters",
     ]
     clusters = spark.read.parquet(f"{wh}/clusters").toPandas()
     tp = _pairs(corpus.truth_clusters, "conv_id", "cluster_id")
