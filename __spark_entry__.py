@@ -110,7 +110,10 @@ def q_jaccard_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "norm_text", "grams"
     )
     truth = d.select(F.col("doc_id").alias("title_id"), "norm_text", "grams")
-    scored = jaccard_topk_candidates(queries, truth, CFG, top_n=1_000_000_000)
+    # top_n=None: no inner ranking window -- the only top-k sort is the
+    # round-6 one below (ranking must happen on the ROUNDED score so the
+    # Spark side and the DuckDB oracle rank on the same key).
+    scored = jaccard_topk_candidates(queries, truth, CFG, top_n=None)
     scored = scored.withColumn("score_r", F.round("score", 6))
     top = grouped_top_k(
         scored, ["query_id"], "score_r", 5, tiebreak_cols=["title_id"]
@@ -249,34 +252,120 @@ def q_knn(spark, sf_dir):
     )
 
 
-# --- hash-dependent / non-SQL ops: rows-only checks ------------------------
+# --- hash-dependent ops: planted-duplicate derived-corpus oracles ----------
+# The outputs of LSH / SimHash / the DP kernel are not themselves
+# SQL-expressible, but their CONTRACTS are: plant pairs whose presence (and
+# exact score) the math guarantees, and let the oracle enumerate them. The
+# full (unplanted) candidate sets are separately verified end-to-end by
+# dup_pairs_jaccard's brute-force all-pairs oracle.
+
+def _raw_docs_with_dups(spark, sf_dir):
+    """Raw-text twin of _docs_with_dups: every 7th document gets an exact
+    shifted-id copy (deterministic planted exact duplicates)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(copies), d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+    )
+
 
 def q_minhash_candidates(spark, sf_dir):
-    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True).cache()
-    return candidate_pairs(prep, CFG).pairs
+    """LSH recall gate: an exact duplicate has an identical MinHash
+    signature, hence identical hashes in ALL 32 bands, so the candidate
+    join finds it with probability 1 (the max_band_group cap cannot drop a
+    pair from every band for groups this small). The result is the planted
+    pair set, which the oracle enumerates directly."""
+    corpus, planted = _raw_docs_with_dups(spark, sf_dir)
+    prep = prepare_docs(corpus, "doc_id", "text", CFG, ascii_fast_path=True)
+    cand = candidate_pairs(prep, CFG).pairs
+    return cand.join(planted, ["id_a", "id_b"], "inner")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-pairs via the pigeonhole chunk join (no crossJoin)."""
+    """SimHash pigeonhole-join recall gate: exact duplicates have identical
+    sketches (hamming 0 <= threshold), so every planted pair must surface
+    with hamming exactly 0."""
     from dedup.operators.simhash_join import simhash_near_pairs
 
-    prep = prepare_docs(_docs(spark, sf_dir), "doc_id", "text", CFG, ascii_fast_path=True)
-    return simhash_near_pairs(
+    corpus, planted = _raw_docs_with_dups(spark, sf_dir)
+    prep = prepare_docs(corpus, "doc_id", "text", CFG, ascii_fast_path=True)
+    pairs = simhash_near_pairs(
         prep.select("doc_id", "simhash"),
         max_hamming=CFG.simhash_hamming_threshold,
+    )
+    return pairs.join(planted, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
 def q_lev_verify(spark, sf_dir):
-    """Banded cost-2 Levenshtein re-rank over near-dup candidates (not
-    SQL-expressible in DuckDB: its levenshtein() is substitution-cost-1)."""
-    pairs = q_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    """Cost-2 (indel) Levenshtein kernel with an EXACT distance oracle:
+    pair every document with a copy missing a contiguous k-char chunk
+    (k = 1 + doc_id % 5, deleted at offset 5). The indel distance is
+    exactly k -- <= k by construction, >= k because each unit-cost edit
+    changes the length by one -- so the oracle is pure arithmetic. (The
+    ratio form is deliberately not oracled: DuckDB's levenshtein() is
+    substitution-cost-1; the rounded-ratio chain has randomized
+    brute-force parity coverage in tests/test_similarity.py instead.)"""
+    from dedup.functions.similarity import indel_distance_pairs
+
+    d = _norm_docs(spark, sf_dir).filter(F.length("norm_text") >= 60)
+    k = (F.col("doc_id") % 5 + 1).cast("int")
+    pairs = d.select(
+        "doc_id",
+        F.col("norm_text").alias("ta"),
+        F.concat(
+            F.substring("norm_text", 1, 5),
+            F.col("norm_text").substr(F.lit(6) + k, F.length("norm_text")),
+        ).alias("tb"),
+    )
+    return pairs.select(
+        "doc_id", indel_distance_pairs("ta", "tb").alias("dist")
+    )
+
+
+# containment entry runs at a smaller window so the planted 258-char
+# prefixes carry a full window; semantic thresholds stay at defaults.
+CONT_CFG = CFG.with_(containment_window=64, containment_stride=32)
+_PFX_CHARS = 258
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Short-in-long containment gate: every sufficiently long document
+    plants a short doc = its first 258 normalized chars. The short doc's
+    first distinct-gram window equals the long doc's first window EXACTLY
+    (first-occurrence gram order of a prefix is a prefix of the full doc's),
+    so the windowed-LSH band join finds the pair with probability 1, and
+    gram containment is exactly 1.0 (a prefix's gram set is a subset)."""
+    from dedup.operators.containment import (
+        containment_candidates,
+        verify_containment,
+    )
+
     d = _norm_docs(spark, sf_dir)
-    return (
-        pairs.join(d.select(F.col("doc_id").alias("id_a"), F.col("norm_text").alias("ta")), "id_a")
-        .join(d.select(F.col("doc_id").alias("id_b"), F.col("norm_text").alias("tb")), "id_b")
-        .withColumn("lev_ratio", staged_levenshtein_ratio_col("ta", "tb", CFG))
-        .select("id_a", "id_b", "lev_ratio")
+    pfx = F.trim(F.substring("norm_text", 1, _PFX_CHARS))
+    eligible = d.filter(
+        (F.length("norm_text") >= 320)
+        & (F.size(char_ngrams_col(pfx, 3)) >= CONT_CFG.containment_window)
+    )
+    shorts = eligible.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        pfx.alias("norm_text"),
+    )
+    corpus = d.select("doc_id", "norm_text").unionByName(shorts)
+    prep = prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    verified = verify_containment(
+        containment_candidates(prep, CONT_CFG), prep, CONT_CFG
+    )
+    planted = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(2_000_000)).alias("id_b"),
+    )
+    return verified.join(planted, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
     )
 
 
@@ -323,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "levenshtein_verify": q_lev_verify,
         "srp_embedding_near_dups": q_srp_near_dups,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -453,7 +543,9 @@ def oracle_sql() -> dict[str, str]:
               from events
             )
             select conv_id, count(*) as n_turns,
-                   string_agg(text, chr(10) order by ts, event_id) as doc_text
+                   string_agg(
+                     replace(replace(text, '\\', '\\\\'), chr(10), '\\n'),
+                     chr(10) order by ts, event_id) as doc_text
             from t group by conv_id
         """,
         "group_argmax_unique": """
@@ -490,6 +582,81 @@ def oracle_sql() -> dict[str, str]:
         "srp_embedding_near_dups": """
             select vec_id as id_a, vec_id + 1000000 as id_b, 1.0 as cosine
             from embeddings where vec_id % 5 = 0
+        """,
+        "minhash_lsh_candidates": """
+            select doc_id as id_a, doc_id + 1000000 as id_b
+            from documents where doc_id % 7 = 0
+        """,
+        "simhash_pairs": """
+            select doc_id as id_a, doc_id + 1000000 as id_b,
+                   cast(0 as bigint) as hamming
+            from documents where doc_id % 7 = 0
+        """,
+        "levenshtein_verify": f"""
+            with {_NORM_CTE}
+            select doc_id, cast(doc_id % 5 + 1 as int) as dist
+            from norm where length(norm_text) >= 60
+        """,
+        "containment_pairs": f"""
+            with {_NORM_CTE},
+            pfx as (
+              select doc_id, trim(substring(norm_text, 1, 258)) as p
+              from norm where length(norm_text) >= 320
+            )
+            select doc_id as id_a, doc_id + 2000000 as id_b,
+                   1.0 as containment
+            from pfx
+            where len(list_distinct([substring(p, i, 3)
+                                     for i in range(1, length(p) - 1)])) >= 64
+        """,
+        "quality_lang": """
+            with w as (
+              select doc_id,
+                     cast(length(text) as double) as n_chars,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') as words,
+                     cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          as double) as alpha_chars,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') as lwords
+              from documents
+            ),
+            s as (
+              select doc_id, n_chars,
+                     cast(len(words) as double) as n_words,
+                     case when n_chars > 0 then alpha_chars / n_chars
+                          else 0.0 end as alpha_ratio,
+                     case when len(words) > 0 then
+                       cast(len(list_filter(words, x -> list_contains(
+                         ['the','a','an','and','or','of','to','in','is','it'],
+                         lower(x)))) as double) / cast(len(words) as double)
+                       else 0.0 end as stop_ratio,
+                     case when len(words) > 0 then
+                       n_chars / cast(len(words) as double)
+                       else 0.0 end as mean_word_len,
+                     len(list_filter(lwords, x -> list_contains(
+                       ['der','die','das','und','ist'], x))) as s_de,
+                     len(list_filter(lwords, x -> list_contains(
+                       ['the','and','of','is','with'], x))) as s_en,
+                     len(list_filter(lwords, x -> list_contains(
+                       ['el','la','los','las','es'], x))) as s_es,
+                     len(list_filter(lwords, x -> list_contains(
+                       ['le','les','des','est','dans'], x))) as s_fr
+              from w
+            )
+            select doc_id,
+                   round(
+                     (case when n_words >= 5 and mean_word_len >= 2
+                                and mean_word_len <= 12
+                           then 0.4 else 0.0 end)
+                     + alpha_ratio * 0.4
+                     + least(stop_ratio * 2.0, 1.0) * 0.2, 6) as quality,
+                   case when greatest(s_de, s_en, s_es, s_fr) <= 0 then 'und'
+                        when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+                        when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+                        when s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+                        else 'fr' end as lang_guess
+            from s
         """,
         "knn_cosine_topk": """
             with e2 as (select vec_id, cast(embedding as double[]) as embedding

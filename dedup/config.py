@@ -92,8 +92,9 @@ class DedupConfig:
     # --- clustering ---
     cc_max_iterations: int = 50
     # edge sets at or under this size use the driver union-find fast path;
-    # 0 disables it (always distributed star-contraction)
-    cc_driver_threshold: int = 2_000_000
+    # 0 disables it (always distributed star-contraction). Kept modest: the
+    # driver holds ~2 string ids per edge, so 1M edges is ~100-200 MB.
+    cc_driver_threshold: int = 1_000_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

@@ -252,14 +252,42 @@ def levenshtein_ratio_pairs(
     return _ratio(cx, cy)
 
 
+def indel_distance_pairs(
+    x: Column | str, y: Column | str, dmax: int | None = None
+) -> Column:
+    """Arrow-batched pandas UDF returning the raw cost-2 (indel) edit
+    distance per pair -- the quantity under levenshtein_ratio_py's hood,
+    exposed so an oracle can check it exactly (a contiguous k-char deletion
+    has distance exactly k: <=k by construction, >=k by the length bound)."""
+    thr = dmax
+
+    @F.pandas_udf(IntegerType())
+    def _dist(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.empty(len(xs), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(xs.fillna(""), ys.fillna(""))):
+            out[i] = indel_distance_str(a, b, thr)
+        return pd.Series(out)
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return _dist(cx, cy)
+
+
 def staged_levenshtein_ratio_col(
     x: Column | str,
     y: Column | str,
     config: DedupConfig = DEFAULT_CONFIG,
 ) -> Column:
-    """Full gate chain D4->D2->D5 as one column expression. The deletion
-    gate is native (filterable by Catalyst); only surviving rows pay the
-    Python UDF."""
+    """Full gate chain D4->D2->D5 as one column expression.
+
+    NOTE: the when/otherwise wrapping does NOT keep gated rows out of the
+    Python worker -- Spark's ExtractPythonUDFs rule evaluates a pandas UDF
+    appearing anywhere in a projection for every row, then applies the
+    conditional to the results. The expression stays cheap only because
+    staged_ratio_py re-checks the deletion gate in Python before the DP.
+    On large pair sets apply the gate as a REAL ``.filter(
+    deletion_ratio_col(x, y) >= threshold)`` before this projection, the
+    way verify.py's need_lev and match.py's tier 3 do."""
     thr = config.lev_threshold
 
     @F.pandas_udf(IntegerType())

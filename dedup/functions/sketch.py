@@ -132,28 +132,66 @@ def band_hashes_udf(
     return _bands(c)
 
 
+# bound on total shingle count processed per vectorized simhash chunk:
+# the bit matrix is G x 64 bytes, so 4M grams ~= 256 MB peak per worker.
+_SIMHASH_CHUNK_GRAMS = 4_000_000
+
+
 def simhash_udf(
     gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
 ) -> Column:
     """64-bit SimHash over shingle hashes: per-bit +/-1 votes, sign -> bit.
     Downstream hamming distance is native SQL ``bit_count(a ^ b)`` -- no UDF
-    on the pair side (SURVEY.md par.7 step 5)."""
+    on the pair side (SURVEY.md par.7 step 5).
+
+    Vectorized across ROWS like the MinHash UDF (flat concat + segment
+    reduce): the whole Arrow batch's hashes become one flat uint64 vector,
+    bits unpack via np.unpackbits (little-endian bit order == shift order),
+    per-doc bit votes are one np.add.reduceat, and the winning bits pack
+    back with np.packbits -- no Python loop over rows or bits. Row-chunked
+    so the G x 64 bit matrix stays memory-bounded for gram-heavy batches."""
 
     @F.pandas_udf(LongType())
     def _simhash(batches: pd.Series) -> pd.Series:
         n = len(batches)
+        if n == 0:
+            return pd.Series([], dtype=np.int64)
+        sizes = np.fromiter(
+            (0 if v is None else len(v) for v in batches), dtype=np.int64, count=n
+        )
         out = np.zeros(n, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, v in enumerate(batches):
-            if v is None or len(v) == 0:
-                continue
-            h = np.asarray(v, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (G, 64)
-            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
-            word = np.uint64(0)
-            for b_idx in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(b_idx)
-            out[i] = np.int64(word.astype(np.int64))
+        start = 0
+        while start < n:
+            stop = start + 1
+            total = int(sizes[start])
+            while stop < n and total + sizes[stop] <= _SIMHASH_CHUNK_GRAMS:
+                total += int(sizes[stop])
+                stop += 1
+            csizes = sizes[start:stop]
+            nonempty = csizes > 0
+            if nonempty.any():
+                flat = np.concatenate(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in batches.iloc[start:stop]
+                        if v is not None and len(v)
+                    ]
+                ).view(np.uint64)
+                # (G, 64) bit matrix; bitorder='little' makes column j the
+                # coefficient of 2^j, matching the shift-based definition.
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
+                # dtype=int64: accumulating uint8 bits would wrap at 256 grams
+                ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+                votes_pos = (2 * ones) > csizes[nonempty][:, None]
+                words = np.packbits(votes_pos, axis=1, bitorder="little")
+                out[start:stop][nonempty] = (
+                    words.copy().view(np.uint64).ravel().view(np.int64)
+                )
+            start = stop
         return pd.Series(out)
 
     c = F.col(gram_hashes) if isinstance(gram_hashes, str) else gram_hashes

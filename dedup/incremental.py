@@ -1,17 +1,31 @@
 """Incremental re-dedup of appended conversations (SURVEY.md par.2.11):
 new transcripts arrive, and instead of re-running the pipeline over the
 full corpus, only (new x new) and (new x existing) candidate pairs are
-generated -- the LSH band postings of the existing corpus are reused from
-its checkpointed ``prepared`` stage table.
+generated.
+
+Per-batch cost contract (the scale property this module exists for):
+  * SKETCH work (normalize/shingle/MinHash/band UDFs) runs over the NEW
+    batch only -- O(batch). The existing corpus is touched exclusively
+    through its persisted BAND POSTINGS table (``existing_bands``), an
+    append-only narrow (doc_id, band_idx, band_hash) table the caller
+    maintains (dedup/streaming.py appends each batch's ``new_bands``).
+    Re-deriving postings from ``existing_prepared`` every batch would make
+    per-batch cost O(corpus) and continuous dedup degrade linearly -- the
+    legacy fallback below does exactly that and exists only for one-shot
+    callers without a postings table.
+  * The new-vs-old join is pruned to the new side's band keys FIRST
+    (broadcast semi-join on the micro-batch's keys), then capped by the
+    same ``max_band_group`` boilerplate defense as the batch path
+    (dedup/operators/candidates.py) -- one boilerplate band key in the
+    historical corpus must not make a micro-batch quadratic. Dropped
+    groups are returned in ``band_skew`` (no silent truncation).
+  * Verification fetches heavy columns (gram hashes, text) only for docs
+    that actually appear in a candidate pair (broadcast semi-join on pair
+    ids), so the corpus' fat columns never shuffle per batch.
 
 On Iceberg this consumes incremental snapshots; here the "append" is any
 DataFrame of new transcripts. The same shape drives the Structured
 Streaming wrapper (dedup/streaming.py) via foreachBatch.
-
-Scale: the dominant cost of a naive re-run is re-sketching + re-joining
-the full corpus; incremental touches the existing side only through ONE
-band-key equi-join against the (small) new side -- broadcastable whenever
-a micro-batch is small.
 """
 
 from __future__ import annotations
@@ -31,7 +45,9 @@ from dedup.operators.verify import verify_pairs
 @dataclass
 class IncrementalResult:
     new_prepared: DataFrame       # sketches of the appended conversations
+    new_bands: DataFrame          # band postings of the new docs (append to corpus bands)
     verified_pairs: DataFrame     # new-new and new-old verified edges
+    band_skew: DataFrame          # (band_idx, band_hash, group_size) groups dropped by the cap
 
 
 def _bands(prepared: DataFrame, config: DedupConfig) -> DataFrame:
@@ -46,27 +62,71 @@ def incremental_dedup(
     existing_prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
     broadcast_new: bool = True,
+    existing_bands: DataFrame | None = None,
+    tracker: list[DataFrame] | None = None,
 ) -> IncrementalResult:
     """Dedup appended conversations against an existing prepared corpus.
 
-    Returns the new side's prepared sketches (callers append them to the
-    corpus table) and verified duplicate edges touching the new docs."""
+    ``existing_bands``: the corpus band-postings table (doc_id, band_idx,
+    band_hash). Pass it to get the O(batch) contract; when None, postings
+    are re-derived from ``existing_prepared`` (O(corpus) band-UDF work --
+    legacy one-shot path only).
+
+    Returns the new side's sketches + band postings (callers append both
+    to their corpus tables) and verified duplicate edges touching the new
+    docs, plus the skew-cap ledger."""
     assembled = assemble_conversations(new_transcripts, config)
     new_prepared = prepare_docs(assembled, "conv_id", "doc_text", config)
+    # consumed by: new-new LSH, new-old band join, verify join, and the
+    # caller's corpus append -- localCheckpoint so the sketch UDFs run once.
+    new_prepared = new_prepared.localCheckpoint()
+    if tracker is not None:
+        tracker.append(new_prepared)
 
     # new x new pairs: the ordinary LSH path on the (small) new side
-    nn = candidate_pairs(new_prepared, config).pairs
+    nn_res = candidate_pairs(new_prepared, config, tracker=tracker)
+    nn = nn_res.pairs
 
-    # new x existing pairs: one band-key equi-join; the new side's postings
-    # broadcast when micro-batch-sized.
-    new_bands = _bands(new_prepared, config)
+    # new x existing pairs: one band-key equi-join. The corpus side is
+    # touched only through its postings; the new side's postings broadcast
+    # when micro-batch-sized.
+    new_bands = _bands(new_prepared, config).localCheckpoint()
+    if tracker is not None:
+        tracker.append(new_bands)
+    old_bands = (
+        existing_bands
+        if existing_bands is not None
+        else _bands(existing_prepared, config)
+    )
+
+    # 1. prune the corpus postings to band keys the batch actually touches
+    new_keys = new_bands.select("band_idx", "band_hash").dropDuplicates()
     if broadcast_new:
-        new_bands = F.broadcast(new_bands)
-    old_bands = _bands(existing_prepared, config)
+        new_keys = F.broadcast(new_keys)
+    old_hit = old_bands.join(new_keys, ["band_idx", "band_hash"], "left_semi")
+
+    # 2. boilerplate-band cap on the pruned corpus side, with accounting
+    #    (same defense as candidates.py: a hot historical band key must not
+    #    blow up |new_in_group| x |old_in_group|).
+    old_sizes = old_hit.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    band_skew = old_sizes.filter(
+        F.col("group_size") > config.max_band_group
+    ).unionByName(nn_res.band_skew.select("band_idx", "band_hash", "group_size"))
+    old_ok = old_hit.join(
+        old_sizes.filter(F.col("group_size") <= config.max_band_group),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+
+    nb = new_bands
+    if broadcast_new:
+        nb = F.broadcast(nb)
     no = (
-        new_bands.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+        nb.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
         .join(
-            old_bands.select("band_idx", "band_hash", F.col("doc_id").alias("id_b")),
+            old_ok.select("band_idx", "band_hash", F.col("doc_id").alias("id_b")),
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id_a") != F.col("id_b"))
@@ -78,6 +138,25 @@ def incremental_dedup(
     )
 
     pairs = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
-    both = new_prepared.unionByName(existing_prepared).dropDuplicates(["doc_id"])
-    verified = verify_pairs(pairs, both, config)
-    return IncrementalResult(new_prepared=new_prepared, verified_pairs=verified)
+    pairs = pairs.localCheckpoint()
+    if tracker is not None:
+        tracker.append(pairs)
+
+    # 3. heavy columns only for docs that appear in a pair: the corpus'
+    #    gram arrays / text never shuffle per batch.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .dropDuplicates()
+    )
+    existing_needed = existing_prepared.join(
+        F.broadcast(pair_ids), "doc_id", "left_semi"
+    )
+    both = new_prepared.unionByName(existing_needed).dropDuplicates(["doc_id"])
+    verified = verify_pairs(pairs, both, config, tracker=tracker)
+    return IncrementalResult(
+        new_prepared=new_prepared,
+        new_bands=new_bands,
+        verified_pairs=verified,
+        band_skew=band_skew,
+    )

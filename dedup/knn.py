@@ -48,10 +48,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus; the join is a BroadcastNestedLoopJoin by construction, the
-    score is a native column, top-k is a rank window."""
+    score is a native column, top-k is a rank window.
+
+    The ranking runs on the cosine ROUNDED to ``round_decimals`` so that an
+    oracle ranking on the same rounding orders tie groups identically at
+    the k boundary (neighbor_id breaks remaining ties)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -64,7 +69,7 @@ def brute_force_topk(
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_col("q_vec", "c_vec"), 9).alias("cosine"),
+        F.round(cosine_col("q_vec", "c_vec"), round_decimals).alias("cosine"),
     )
     return grouped_top_k(
         scored, ["query_id"], "cosine", k, tiebreak_cols=["neighbor_id"]
@@ -86,6 +91,43 @@ def srp_bucket_col(vec_col: Column | str, n_planes: int = 16, dim: int = 64, see
     return bucket
 
 
+def srp_candidate_id_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing any SRP bucket in any of the
+    n_tables bucketings -- IDS ONLY. The fat vector column never enters the
+    bucket shuffle: one scan computes all n_tables buckets per vector
+    (explode over a struct array), then the self-join ships 3 small ints
+    per posting. At 100 TB the vectors are the payload that matters; this
+    keeps them out of the O(n_tables) exchange entirely."""
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket_col("v", n_planes, dim, seed + t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    postings = base.select("id", F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    left = postings.select("tbl", "bucket", F.col("id").alias("id_a"))
+    right = postings.select("tbl", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def srp_near_dup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,
@@ -98,23 +140,20 @@ def srp_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: n_tables independent SRP
     bucketings; pairs sharing any bucket get exact cosine verification.
-    Same generate->verify shape as the text pipeline."""
+    Same generate->verify shape as the text pipeline.
+
+    TWO-PHASE: phase 1 (srp_candidate_id_pairs) joins ids on
+    (tbl, bucket) with no vector payload; phase 2 fetches vectors for the
+    surviving deduped pairs only -- two narrow hash joins on id instead of
+    shuffling every vector n_tables times on both sides of a self-join."""
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    buckets = None
-    for t in range(n_tables):
-        b = base.select(
-            "id", "v", F.lit(t).alias("tbl"), srp_bucket_col("v", n_planes, dim, seed + t).alias("bucket")
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
-    left = buckets.select("tbl", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = buckets.select("tbl", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    cands = (
-        left.join(right, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cands = srp_candidate_id_pairs(
+        embeddings, n_planes, dim, id_col, vec_col, n_tables, seed
     )
     return (
-        cands.withColumn("cosine", F.round(cosine_col("va", "vb"), 9))
+        cands.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.round(cosine_col("va", "vb"), 9))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -7,9 +7,12 @@ multi-turn transcripts (SURVEY.md par.2.7).
 
 Semantics: within each conv_id, turns are ordered by (turn_idx, ts, role)
 -- turn_idx is the ordering key, ts then role break ties deterministically
--- and the per-turn texts are joined with a single ``\\n``. Re-exploding the
-assembled doc under the same ordering must reproduce the source texts
-exactly (tests/test_assemble.py).
+-- and the per-turn texts are joined with a single ``\\n`` after ESCAPING
+(``\\`` -> ``\\\\``, newline -> ``\\n``) so a newline inside a turn can
+never read as a turn boundary: a conversation with one turn ``"a\\nb"`` and
+one with turns ``["a", "b"]`` assemble to distinct doc_texts. Re-exploding
+the assembled doc under the same ordering reproduces the source texts
+exactly, including embedded newlines (tests/test_assemble.py).
 
 Scale: this is ONE shuffle, on conv_id, done via groupBy + sort-inside-agg
 (``array_sort(collect_list(struct(...)))``); no window + second shuffle.
@@ -27,6 +30,28 @@ import pyspark.sql.functions as F
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 
 TURN_SEP = "\n"
+
+
+def escape_turn_text(c: F.Column | str) -> F.Column:
+    """Make TURN_SEP unambiguous: '\\' -> '\\\\', newline -> '\\n' (literal
+    backslash + n). Native literal replaces -- stays in codegen."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit("\n"), F.lit("\\n")
+    )
+
+
+def unescape_turn_text(c: F.Column | str) -> F.Column:
+    """Exact inverse of escape_turn_text: split on escaped backslashes
+    (so every remaining '\\n' pair is an escaped newline), decode inside
+    each piece, rejoin with single backslashes. Unambiguous left-to-right
+    decode without a UDF."""
+    col = F.col(c) if isinstance(c, str) else c
+    pieces = F.split(col, r"\\\\", -1)  # regex: two literal backslashes
+    return F.array_join(
+        F.transform(pieces, lambda p: F.replace(p, F.lit("\\n"), F.lit("\n"))),
+        "\\",
+    )
 
 
 def assemble_conversations(
@@ -48,7 +73,7 @@ def assemble_conversations(
                 F.col("turn_idx"),
                 F.col("ts"),
                 F.col("role"),
-                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                escape_turn_text(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
             )
         )
     )
@@ -69,4 +94,4 @@ def explode_conversations(assembled: DataFrame) -> DataFrame:
     return assembled.select(
         "conv_id",
         F.posexplode(turns).alias("turn_pos", "text"),
-    )
+    ).withColumn("text", unescape_turn_text("text"))

@@ -87,6 +87,7 @@ class CandidateResult:
 def candidate_pairs(
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
+    tracker: list[DataFrame] | None = None,
 ) -> CandidateResult:
     """prepared docs (doc_id, minhash) -> candidate (id_a < id_b) pairs.
 
@@ -94,7 +95,12 @@ def candidate_pairs(
     postings -> group-size accounting -> salted self-join on the band key
     -> canonical pair dedup. The self-join is an equi hash join on
     (band_idx, band_hash[, salt]); AQE may broadcast the smaller side at
-    low SF and splits skewed partitions at high SF."""
+    low SF and splits skewed partitions at high SF.
+
+    ``tracker``: persisted intermediates are appended here so long-lived
+    drivers (pipeline stages, streaming micro-batches) can unpersist them
+    once the pairs have materialized -- otherwise cached band postings
+    accumulate across batches."""
     # The band postings feed MANY branches (size accounting, skew ledger,
     # and four join sides) -- cache them so the sketch-UDF explode runs
     # once, not once per branch. On a cluster this is the natural stage to
@@ -105,6 +111,8 @@ def candidate_pairs(
             "band_idx", "band_hash"
         ),
     ).persist()
+    if tracker is not None:
+        tracker.append(bands)
 
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("group_size")
@@ -126,6 +134,8 @@ def candidate_pairs(
         .select("band_idx", "band_hash", "doc_id", "group_size")
         .persist()
     )
+    if tracker is not None:
+        tracker.append(postings)
 
     # Split skew-join: groups under the hotness threshold take a plain
     # band-key equi-join; hot groups (the boilerplate tail) take a SALTED

@@ -126,6 +126,7 @@ def _window_slices(gram_hashes: Column, window: int, stride: int) -> Column:
 def containment_candidates(
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
+    tracker: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id_short, id_long) candidates sharing a long contiguous gram span.
 
@@ -152,6 +153,8 @@ def containment_candidates(
             band_hashes_udf(minhash_signature_udf("win_hashes", config), config)
         ).alias("band_idx", "band_hash"),
     ).persist()
+    if tracker is not None:
+        tracker.append(bands)
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("gsz")
     )

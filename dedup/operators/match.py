@@ -22,7 +22,8 @@ tiers 1-3 with identical thresholds/semantics:
 Tier 4 of the reference (XGBoost re-rank) is deliberately replaced by the
 deterministic verification stack per BASELINE.json north_rule.
 
-Scale notes: the gram inverted-index join shuffles on the gram string; df
+Scale notes: the gram inverted-index join shuffles on xxhash64(gram)
+(8-byte keys, not variable-width strings); df
 counts and idf are distributed aggs (never a driver dictionary -- the
 reference's in-memory gram dictionary, match_maker.py:144-153, is the
 thing that cannot scale). Hot grams are exactly the skew case LSH salting
@@ -38,7 +39,10 @@ import pyspark.sql.functions as F
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.normalize import normalize_text_col
 from dedup.functions.shingle import char_ngrams_col
-from dedup.functions.similarity import staged_levenshtein_ratio_col
+from dedup.functions.similarity import (
+    deletion_ratio_col,
+    staged_levenshtein_ratio_col,
+)
 from dedup.operators.grouping import grouped_top_k, group_argmax_unique
 
 NOT_FOUND = -1  # reference TRAIN_NOT_FOUND_VALUE, settings.py:33
@@ -56,10 +60,17 @@ def _with_norm_and_grams(df: DataFrame, text_col: str, config: DedupConfig) -> D
 
 def truth_idf(truth: DataFrame, config: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """(gram, idf) from the truth side: idf = ln(N / df(gram)), df counted
-    once per title (distinct-per-doc semantics, common.py:140-147)."""
+    once per title (distinct-per-doc semantics, common.py:140-147).
+
+    ``gram`` in the output is the 64-bit xxhash64 of the gram string, not
+    the string: every downstream consumer only ever equi-joins on it, and an
+    8-byte shuffle key beats a variable-width UTF-8 one at corpus scale
+    (identical semantics absent 64-bit collisions -- the same trade
+    gram_hashes_col makes for the dedup path)."""
     n_truth = truth.count()
     return (
-        truth.select(F.explode("grams").alias("gram"))
+        truth.select(F.explode("grams").alias("g"))
+        .select(F.xxhash64("g").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("idf", F.log(F.lit(float(n_truth)) / F.col("df")))
@@ -67,17 +78,24 @@ def truth_idf(truth: DataFrame, config: DedupConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
+# sentinel: "use config.top_n_predict" (distinct from top_n=None = no ranking)
+_TOP_N_FROM_CONFIG = object()
+
+
 def jaccard_topk_candidates(
     queries: DataFrame,
     truth: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
-    top_n: int | None = None,
+    top_n: int | None | object = _TOP_N_FROM_CONFIG,
 ) -> DataFrame:
     """IDF-weighted Jaccard top-k truth candidates per query.
 
     Inputs must carry (query_id|title_id, norm_text, grams). Returns
-    (query_id, title_id, score)."""
-    top_n = top_n or config.top_n_predict
+    (query_id, title_id, score). ``top_n=None`` returns ALL scored pairs
+    with no ranking window -- callers that re-rank themselves (or want the
+    full score table) must not pay a wasted full window sort here."""
+    if top_n is _TOP_N_FROM_CONFIG:
+        top_n = config.top_n_predict
     # idf is small (one row per distinct gram with df >= 1) and is joined
     # THREE times (query side, truth side, and transitively the sums);
     # cache it so the distributed agg runs once. At corpus scale this table
@@ -86,12 +104,16 @@ def jaccard_topk_candidates(
     max_idf = idf.agg(F.max("idf")).first()[0]
 
     q_grams = queries.select(
-        "query_id", F.explode("grams").alias("gram")
-    ).join(idf, "gram", "left").withColumn(
+        "query_id", F.explode("grams").alias("g")
+    ).select("query_id", F.xxhash64("g").alias("gram")).join(
+        idf, "gram", "left"
+    ).withColumn(
         "idf", F.coalesce("idf", F.lit(max_idf))  # unknown gram -> max idf
     )
-    t_grams = truth.select("title_id", F.explode("grams").alias("gram")).join(
-        idf, "gram", "inner"
+    t_grams = (
+        truth.select("title_id", F.explode("grams").alias("g"))
+        .select("title_id", F.xxhash64("g").alias("gram"))
+        .join(idf, "gram", "inner")
     )
 
     # per-side idf sums (the S_q / S_t terms)
@@ -110,6 +132,8 @@ def jaccard_topk_candidates(
         .withColumn("score", F.col("i") / (F.col("s_t") + F.col("s_q") - F.col("i")))
         .select("query_id", "title_id", "score")
     )
+    if top_n is None:
+        return scored
     return grouped_top_k(
         scored, ["query_id"], "score", top_n, tiebreak_cols=["title_id"]
     )
@@ -154,9 +178,16 @@ def match_titles(
     remaining = queries.join(exact.select("query_id"), "query_id", "left_anti")
 
     # ---- tier 2: candidates (top-k IDF-weighted Jaccard)
-    cands = jaccard_topk_candidates(remaining, truth, config, top_n)
+    cands = jaccard_topk_candidates(
+        remaining, truth, config, top_n or config.top_n_predict
+    )
 
-    # ---- tier 3: close match via staged Levenshtein
+    # ---- tier 3: close match via staged Levenshtein. The deletion-ratio
+    # length gate runs as a REAL .filter() before the UDF projection:
+    # Spark's ExtractPythonUDFs rule pulls a pandas UDF out of a
+    # when/otherwise and evaluates it for every projected row, so gating
+    # inside the expression (staged_levenshtein_ratio_col's column form)
+    # would not keep gated rows away from the Python worker.
     pairs = (
         cands.join(
             remaining.select("query_id", F.col("norm_text").alias("q_text")),
@@ -166,6 +197,7 @@ def match_titles(
             truth.select("title_id", F.col("norm_text").alias("t_text")),
             "title_id",
         )
+        .filter(deletion_ratio_col("q_text", "t_text") >= F.lit(float(config.lev_threshold)))
         .withColumn(
             "lev_ratio", staged_levenshtein_ratio_col("q_text", "t_text", config)
         )

@@ -64,9 +64,14 @@ def verify_pairs(
     pairs: DataFrame,
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
+    tracker: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidates x prepared docs -> verified edges
-    (id_a, id_b, jaccard, hamming, lev_ratio, tier)."""
+    (id_a, id_b, jaccard, hamming, lev_ratio, tier).
+
+    ``tracker`` collects the eager localCheckpoint intermediates so callers
+    can unpersist them once the verified edges are materialized (only safe
+    AFTER materialization: a localCheckpoint has no lineage to recompute)."""
     thr = config.lev_threshold
 
     # ---- phase 1: narrow sketch join ----------------------------------
@@ -113,6 +118,8 @@ def verify_pairs(
         | sim_ok
         | (F.col("del_ratio") >= F.lit(float(thr)))
     ).localCheckpoint()
+    if tracker is not None:
+        tracker.append(p1)
 
     # ---- phase 2a: exact Jaccard for estimate-gate survivors ----------
     ga, gb = _two_sided(
@@ -132,6 +139,8 @@ def verify_pairs(
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .localCheckpoint()
     )
+    if tracker is not None:
+        tracker.append(scored)
 
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)
     del_ok = F.col("del_ratio") >= F.lit(float(thr))

@@ -78,6 +78,11 @@ def run_pipeline(
         spark, warehouse, run_id=run_id, config_fingerprint=config.config_fingerprint()
     )
     report = PipelineReport(run_id=cat.run_id)
+    # every persist()/localCheckpoint() an operator takes lands here; all
+    # are released after the final stage table commits, so a long-lived
+    # driver (or the streaming loop) never accumulates cached band postings
+    # / verify intermediates across runs.
+    tracker: list[DataFrame] = []
 
     assembled, r = cat.write_or_resume(
         "assembled", lambda: assemble_conversations(transcripts, config)
@@ -100,7 +105,7 @@ def run_pipeline(
     reps = representatives(prepared, exact_groups, "doc_id")
 
     def _cands():
-        res = candidate_pairs(reps, config)
+        res = candidate_pairs(reps, config, tracker=tracker)
         # persist skew accounting alongside (separate table, same commit
         # discipline) -- the "no silent truncation" ledger.
         cat.write("band_skew", res.band_skew, stage="candidate_pairs")
@@ -110,7 +115,7 @@ def run_pipeline(
     report.stages.append(r)
 
     verified, r = cat.write_or_resume(
-        "verified_pairs", lambda: verify_pairs(cands, reps, config)
+        "verified_pairs", lambda: verify_pairs(cands, reps, config, tracker=tracker)
     )
     report.stages.append(r)
 
@@ -124,7 +129,7 @@ def run_pipeline(
         containment, r = cat.write_or_resume(
             "containment_pairs",
             lambda: verify_containment(
-                containment_candidates(reps, config), reps, config
+                containment_candidates(reps, config, tracker=tracker), reps, config
             ),
         )
         report.stages.append(r)
@@ -163,6 +168,11 @@ def run_pipeline(
         "run_id string, stage string, rows long, partitions int, seconds double, resumed boolean",
     )
     cat.write(f"metrics_{cat.run_id}", metrics_df, stage="metrics")
+
+    # all stage tables are committed parquet now; nothing downstream reads
+    # the cached/checkpointed intermediates again -- release them.
+    for df in tracker:
+        df.unpersist()
 
     report.total_seconds = time.time() - t0
     return report

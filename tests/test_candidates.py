@@ -81,3 +81,30 @@ def test_salted_path_equals_plain_join(spark, config, prepared):
     p1 = {(r["id_a"], r["id_b"]) for r in candidate_pairs(prep, all_salted).pairs.collect()}
     p2 = {(r["id_a"], r["id_b"]) for r in candidate_pairs(prep, all_plain).pairs.collect()}
     assert p1 == p2
+
+
+def test_tracker_releases_persisted_band_postings(spark, config):
+    """VERDICT r1 item 8: cached band postings must be releasable once the
+    pairs materialize -- the tracker collects every persist() the operator
+    takes, and unpersisting them leaves no storage behind."""
+    from dedup.operators.candidates import candidate_pairs, prepare_docs
+    from dedup.generate import make_corpus
+    from dedup.operators.assemble import assemble_conversations
+
+    corpus = make_corpus(n_conversations=20, seed=3)
+    prep = prepare_docs(
+        assemble_conversations(spark.createDataFrame(corpus.transcripts), config),
+        "conv_id",
+        "doc_text",
+        config,
+    )
+    tracker = []
+    res = candidate_pairs(prep, config, tracker=tracker)
+    res.pairs.count()
+    assert len(tracker) == 2  # bands + postings
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in tracker)
+    for df in tracker:
+        df.unpersist(blocking=True)
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in tracker
+    )

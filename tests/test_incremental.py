@@ -67,3 +67,69 @@ def test_streaming_dedup_available_now(spark, config, tmp_path):
     edges = spark.read.parquet(f"{wh}/stream_edges")
     # at least the exact duplicates planted in the corpus must surface
     assert edges.count() > 0
+
+
+def test_incremental_reuses_postings_no_corpus_resketch(spark, config, monkeypatch):
+    """O(batch) contract: with ``existing_bands`` provided, the band UDF
+    never re-runs over the historical corpus -- _bands is invoked exactly
+    once (new side only) -- and edges match the legacy recompute path."""
+    import dedup.incremental as inc
+
+    corpus = make_corpus(n_conversations=30, dup_fraction=0.0, seed=21)
+    src = spark.createDataFrame(corpus.transcripts)
+    existing = prepare_docs(
+        assemble_conversations(src, config), "conv_id", "doc_text", config
+    ).localCheckpoint()
+    bands = inc._bands(existing, config).localCheckpoint()
+
+    batch_pd = corpus.transcripts[corpus.transcripts.conv_id == "c0000005"].copy()
+    batch_pd["conv_id"] = "xc0000005"  # exact dup of an existing conversation
+    batch = spark.createDataFrame(batch_pd)
+
+    legacy = inc.incremental_dedup(batch, existing, config)
+    legacy_edges = {(r["id_a"], r["id_b"]) for r in legacy.verified_pairs.collect()}
+
+    calls = []
+    orig = inc._bands
+
+    def spy(prepared, cfg):
+        calls.append(prepared)
+        return orig(prepared, cfg)
+
+    monkeypatch.setattr(inc, "_bands", spy)
+    res = inc.incremental_dedup(batch, existing, config, existing_bands=bands)
+    edges = {(r["id_a"], r["id_b"]) for r in res.verified_pairs.collect()}
+    assert len(calls) == 1, "historical corpus must not be re-banded"
+    assert edges == legacy_edges
+    assert ("c0000005", "xc0000005") in edges
+    # new_bands covers exactly the new docs, one posting per LSH band
+    assert res.new_bands.count() == config.lsh_bands * res.new_prepared.count()
+
+
+def test_streaming_maintains_bands_table(spark, config, tmp_path):
+    """The warehouse keeps an append-only corpus_bands postings table in
+    lockstep with corpus_prepared (lsh_bands postings per doc)."""
+    from dedup.streaming import read_transcript_stream, start_streaming_dedup
+
+    corpus = make_corpus(n_conversations=12, dup_fraction=0.3, seed=99)
+    src = spark.createDataFrame(corpus.transcripts).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    in_dir = str(tmp_path / "in")
+    # repartition BY conv_id: a conversation split across micro-batches
+    # assembles per-batch partial docs (the availableNow file source has no
+    # conversation boundary awareness) -- keep each conv in one batch here
+    src.repartition(2, "conv_id").write.mode("overwrite").parquet(in_dir)
+
+    wh = str(tmp_path / "wh")
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
+    q = start_streaming_dedup(
+        spark, stream, wh, config, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    n_docs = spark.read.parquet(f"{wh}/corpus_prepared").count()
+    n_bands = spark.read.parquet(f"{wh}/corpus_bands").count()
+    # make_corpus plants near-dup variant conversations beyond the base 12
+    assert n_docs == corpus.transcripts.conv_id.nunique()
+    assert n_bands == config.lsh_bands * n_docs
