@@ -83,6 +83,24 @@ class DedupConfig:
     # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
     top_n_predict: int = 100
     top_n_train: int = 10
+    # Tier-2 candidate-generation gram-frequency cutoff: when set, candidate
+    # pairs are generated only through grams with truth-df <= cutoff, then
+    # rescored EXACTLY over all shared grams. None = exact all-shared-gram
+    # join (the reference's semantics; O(sum df_q*df_t) shuffle volume --
+    # 267M rows on the 10k x 30k example set, 96%+ of it through stop-grams
+    # that can never put a pair into any top-k). A pair is missed only if
+    # it shares NO gram with df <= cutoff: on the example truth set at 300,
+    # that is 3 of 10,000 queries (measured), and such a pair's idf-weighted
+    # score is bounded by |shared| * ln(N/cutoff).
+    gram_df_cutoff: int | None = None
+    # Tier-4 deterministic acceptance (replaces the reference's XGBoost
+    # re-rank, dropped per north_rule): accept a query's unique-argmax
+    # candidate when max(lev_ratio, token_sort_ratio) >= this threshold.
+    # 90 was selected by grid search on the reference's example TRAIN split
+    # (never the test split): custom_error 749 vs 2036 without the tier
+    # (reference-with-model golden: 633). 0 disables the tier (pure
+    # reference tiers 1-3).
+    match_accept_ratio: int = 90
 
     # --- partitioning / shuffle knobs ---
     shuffle_partitions: int = 32

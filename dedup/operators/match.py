@@ -19,8 +19,12 @@ tiers 1-3 with identical thresholds/semantics:
   4. finalize: unmatched queries get title_id -1
      (settings.py:33, predict.py:262-267).
 
-Tier 4 of the reference (XGBoost re-rank) is deliberately replaced by the
-deterministic verification stack per BASELINE.json north_rule.
+Tier 4 of the reference (XGBoost re-rank) is deliberately replaced per
+BASELINE.json north_rule by a DETERMINISTIC acceptance tier: unique argmax
+by max(lev_ratio, token_sort_ratio) >= config.match_accept_ratio, threshold
+grid-searched on the reference's example TRAIN split (custom_error 749 on
+train vs 2036 with tiers 1-3 alone; the reference's model-tier golden is
+633 -- the residual gap is the documented cost of dropping the model).
 
 Scale notes: the gram inverted-index join shuffles on xxhash64(gram)
 (8-byte keys, not variable-width strings); df
@@ -41,7 +45,8 @@ from dedup.functions.normalize import normalize_text_col
 from dedup.functions.shingle import char_ngrams_col
 from dedup.functions.similarity import (
     deletion_ratio_col,
-    staged_levenshtein_ratio_col,
+    levenshtein_ratio_pairs,
+    token_sort_col,
 )
 from dedup.operators.grouping import grouped_top_k, group_argmax_unique
 
@@ -59,8 +64,8 @@ def _with_norm_and_grams(df: DataFrame, text_col: str, config: DedupConfig) -> D
 
 
 def truth_idf(truth: DataFrame, config: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(gram, idf) from the truth side: idf = ln(N / df(gram)), df counted
-    once per title (distinct-per-doc semantics, common.py:140-147).
+    """(gram, df, idf) from the truth side: idf = ln(N / df(gram)), df
+    counted once per title (distinct-per-doc semantics, common.py:140-147).
 
     ``gram`` in the output is the 64-bit xxhash64 of the gram string, not
     the string: every downstream consumer only ever equi-joins on it, and an
@@ -74,7 +79,6 @@ def truth_idf(truth: DataFrame, config: DedupConfig = DEFAULT_CONFIG) -> DataFra
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("idf", F.log(F.lit(float(n_truth)) / F.col("df")))
-        .drop("df")
     )
 
 
@@ -93,7 +97,19 @@ def jaccard_topk_candidates(
     Inputs must carry (query_id|title_id, norm_text, grams). Returns
     (query_id, title_id, score). ``top_n=None`` returns ALL scored pairs
     with no ranking window -- callers that re-rank themselves (or want the
-    full score table) must not pay a wasted full window sort here."""
+    full score table) must not pay a wasted full window sort here.
+
+    Two plans, same score formula:
+      * config.gram_df_cutoff is None -> EXACT: every pair sharing any
+        gram is scored via the full gram equi-join + agg. Shuffle volume
+        is sum_g df_q(g)*df_t(g) -- dominated by stop-grams that cannot
+        affect any top-k (96%+ on the reference example set).
+      * cutoff set -> candidate pairs are generated through rare grams
+        only (df <= cutoff), then rescored EXACTLY over ALL shared grams
+        with a native array_intersect over per-doc (gram, idf) arrays --
+        emitted scores are identical to the exact plan; only pairs sharing
+        exclusively stop-grams (score <= |shared|*ln(N/cutoff) / S) can be
+        absent from the pool."""
     if top_n is _TOP_N_FROM_CONFIG:
         top_n = config.top_n_predict
     # idf is small (one row per distinct gram with df >= 1) and is joined
@@ -116,22 +132,61 @@ def jaccard_topk_candidates(
         .join(idf, "gram", "inner")
     )
 
-    # per-side idf sums (the S_q / S_t terms)
-    s_q = q_grams.groupBy("query_id").agg(F.sum("idf").alias("s_q"))
-    s_t = t_grams.groupBy("title_id").agg(F.sum("idf").alias("s_t"))
+    cutoff = config.gram_df_cutoff
+    if cutoff is None:
+        # per-side idf sums (the S_q / S_t terms)
+        s_q = q_grams.groupBy("query_id").agg(F.sum("idf").alias("s_q"))
+        s_t = t_grams.groupBy("title_id").agg(F.sum("idf").alias("s_t"))
 
-    inter = (
-        q_grams.select("query_id", "gram", "idf")
-        .join(t_grams.select("title_id", "gram"), "gram", "inner")
-        .groupBy("query_id", "title_id")
-        .agg(F.sum("idf").alias("i"))
-    )
-    scored = (
-        inter.join(s_q, "query_id")
-        .join(s_t, "title_id")
-        .withColumn("score", F.col("i") / (F.col("s_t") + F.col("s_q") - F.col("i")))
-        .select("query_id", "title_id", "score")
-    )
+        inter = (
+            q_grams.select("query_id", "gram", "idf")
+            .join(t_grams.select("title_id", "gram"), "gram", "inner")
+            .groupBy("query_id", "title_id")
+            .agg(F.sum("idf").alias("i"))
+        )
+        scored = (
+            inter.join(s_q, "query_id")
+            .join(s_t, "title_id")
+            .withColumn(
+                "score", F.col("i") / (F.col("s_t") + F.col("s_q") - F.col("i"))
+            )
+            .select("query_id", "title_id", "score")
+        )
+    else:
+        # phase 1: candidates through rare grams only (skinny join)
+        rare = F.col("df") <= F.lit(cutoff)
+        cand = (
+            q_grams.filter(rare).select("query_id", "gram")
+            .join(t_grams.filter(rare).select("title_id", "gram"), "gram")
+            .select("query_id", "title_id")
+            .dropDuplicates(["query_id", "title_id"])
+        )
+        # phase 2: exact rescoring -- per-doc (gram, idf) arrays; the
+        # intersection is a native array_intersect (struct equality is
+        # exact: both sides carry the same truth idf; unknown query grams
+        # carry max_idf and never match a truth struct anyway).
+        q_arr = q_grams.groupBy("query_id").agg(
+            F.collect_list(F.struct("gram", "idf")).alias("qg"),
+            F.sum("idf").alias("s_q"),
+        )
+        t_arr = t_grams.groupBy("title_id").agg(
+            F.collect_list(F.struct("gram", "idf")).alias("tg"),
+            F.sum("idf").alias("s_t"),
+        )
+        inter = F.aggregate(
+            F.array_intersect("qg", "tg"),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["idf"],
+        )
+        scored = (
+            cand.join(q_arr, "query_id")
+            .join(t_arr, "title_id")
+            .withColumn("i", inter)
+            .withColumn(
+                "score", F.col("i") / (F.col("s_t") + F.col("s_q") - F.col("i"))
+            )
+            .select("query_id", "title_id", "score")
+        )
     if top_n is None:
         return scored
     return grouped_top_k(
@@ -182,12 +237,18 @@ def match_titles(
         remaining, truth, config, top_n or config.top_n_predict
     )
 
-    # ---- tier 3: close match via staged Levenshtein. The deletion-ratio
-    # length gate runs as a REAL .filter() before the UDF projection:
-    # Spark's ExtractPythonUDFs rule pulls a pandas UDF out of a
-    # when/otherwise and evaluates it for every projected row, so gating
-    # inside the expression (staged_levenshtein_ratio_col's column form)
-    # would not keep gated rows away from the Python worker.
+    # ---- tiers 3+4: one ratio pass over the candidate pairs.
+    # The deletion-ratio length gate runs as a REAL .filter() before the
+    # UDF projections: Spark's ExtractPythonUDFs rule pulls a pandas UDF
+    # out of a when/otherwise and evaluates it for every projected row, so
+    # gating inside the expression would not keep gated rows away from the
+    # Python worker. The gate (and the DP band) sit at the LOOSEST
+    # acceptance threshold in play (tier-4's, when enabled): ratios at or
+    # above it are exact; truncated values below it can never be accepted
+    # or win an argmax from a >=gate row.
+    t4 = config.match_accept_ratio
+    thr = config.lev_threshold
+    gate = min(thr, t4) if t4 else thr
     pairs = (
         cands.join(
             remaining.select("query_id", F.col("norm_text").alias("q_text")),
@@ -197,12 +258,34 @@ def match_titles(
             truth.select("title_id", F.col("norm_text").alias("t_text")),
             "title_id",
         )
-        .filter(deletion_ratio_col("q_text", "t_text") >= F.lit(float(config.lev_threshold)))
+        .withColumn("del_ratio", deletion_ratio_col("q_text", "t_text"))
+        .filter(F.col("del_ratio") >= F.lit(float(gate)))
         .withColumn(
-            "lev_ratio", staged_levenshtein_ratio_col("q_text", "t_text", config)
+            "lev", levenshtein_ratio_pairs("q_text", "t_text", threshold=gate)
         )
+        .withColumn(
+            "tsort",
+            levenshtein_ratio_pairs(
+                token_sort_col("q_text"), token_sort_col("t_text"), threshold=gate
+            ),
+        )
+        .select("query_id", "title_id", "del_ratio", "lev", "tsort")
     )
-    close = pairs.filter(F.col("lev_ratio") > config.lev_threshold)
+    # both tier branches read `pairs`; eager checkpoint so the two ratio
+    # UDF columns are computed once, not once per branch subtree.
+    pairs = pairs.localCheckpoint()
+
+    # tier 3 proper: the reference's staged chain reconstructed from the
+    # two ratio columns (deletion gate -> lev -> token-sort fallback,
+    # predict.py:147-156), threshold 94, ambiguous-argmax dropped.
+    staged = (
+        F.when(F.col("del_ratio") < F.lit(float(thr)), F.lit(0))
+        .when(F.col("lev") > thr, F.col("lev"))
+        .otherwise(F.col("tsort"))
+    )
+    close = pairs.withColumn("lev_ratio", staged).filter(
+        F.col("lev_ratio") > thr
+    )
     close = group_argmax_unique(close, ["query_id"], "lev_ratio").select(
         "query_id",
         "title_id",
@@ -211,6 +294,26 @@ def match_titles(
     )
 
     matched = exact.unionByName(close)
+
+    # ---- tier 4: deterministic acceptance replacing the reference's
+    # XGBoost re-rank (north_rule drops the model). Accept a query's
+    # unique argmax by r = max(lev, token_sort) when r >= t4; tied argmax
+    # drops the query (same ambiguity semantics as tier 3). Threshold
+    # tuned on the reference's example TRAIN split only (config.py).
+    if t4:
+        rest = pairs.join(matched.select("query_id"), "query_id", "left_anti")
+        rest = rest.withColumn("r", F.greatest("lev", "tsort"))
+        accept = group_argmax_unique(rest, ["query_id"], "r").filter(
+            F.col("r") >= t4
+        )
+        matched = matched.unionByName(
+            accept.select(
+                "query_id",
+                "title_id",
+                (F.col("r") / 100.0).alias("prediction"),
+                F.lit("accept").alias("tier"),
+            )
+        )
 
     # ---- finalize: unmatched -> -1 (predict.py:262-267)
     not_found = (

@@ -74,3 +74,42 @@ def test_jaccard_topk_scores_match_reference_formula(spark, config):
     i2 = idf["bcd"] + idf["cde"]
     assert got[2] == pytest.approx(i2 / (s_t2 + s_q - i2))
     assert 3 not in got or got[3] == pytest.approx(0.0)  # no shared grams
+
+
+def test_gram_cutoff_path_matches_exact_path(spark, config):
+    """Stop-gram pruned candidate generation rescoring must emit IDENTICAL
+    scores to the exact all-shared-gram plan whenever the pool is complete
+    (cutoff >= max df => every pair generated => same top-k)."""
+    truth_pd, queries_pd = make_title_fixture(n_truth=120, n_queries=60, seed=5)
+    truth = _with_norm_and_grams(spark.createDataFrame(truth_pd), "title", config)
+    queries = _with_norm_and_grams(
+        spark.createDataFrame(queries_pd), "title", config
+    ).select(F.col("query_id"), "norm_text", "grams")
+    exact = {
+        (r["query_id"], r["title_id"]): round(r["score"], 9)
+        for r in jaccard_topk_candidates(queries, truth, config, top_n=5).collect()
+    }
+    pruned_cfg = config.with_(gram_df_cutoff=10**9)
+    pruned = {
+        (r["query_id"], r["title_id"]): round(r["score"], 9)
+        for r in jaccard_topk_candidates(queries, truth, pruned_cfg, top_n=5).collect()
+    }
+    assert exact == pruned
+
+
+def test_tier4_accepts_below_94_unique_argmax(spark, config):
+    """Deterministic tier 4: a query whose best ratio is in [90, 94] (too
+    low for tier 3) must match via tier 'accept'; disabling the tier
+    (match_accept_ratio=0) restores pure reference tiers 1-3."""
+    truth = spark.createDataFrame(
+        [(1, "intergalactic spark systems limited"), (2, "completely unrelated title co")],
+        "title_id long, title string",
+    )
+    # 3 char-edits on a 35-char title: ratio ~ (70-6)/70*100 ~= 91
+    queries = spark.createDataFrame(
+        [(0, "intergalaktic spork system limited")], "query_id long, title string"
+    )
+    got = match_titles(queries, truth, config).collect()
+    assert got[0]["title_id"] == 1 and got[0]["tier"] == "accept"
+    off = match_titles(queries, truth, config.with_(match_accept_ratio=0)).collect()
+    assert off[0]["title_id"] == -1 and off[0]["tier"] == "not_found"
