@@ -132,9 +132,12 @@ def band_hashes_udf(
     return _bands(c)
 
 
-# bound on total shingle count processed per vectorized simhash chunk:
-# the bit matrix is G x 64 bytes, so 4M grams ~= 256 MB peak per worker.
-_SIMHASH_CHUNK_GRAMS = 4_000_000
+# bound on total shingle count processed per vectorized simhash chunk: the
+# bit matrix is G x 64 bytes, so 256k grams ~= 16 MB peak per worker -- big
+# enough to amortize numpy dispatch, small enough that 32 concurrent
+# Python workers do not add GBs of transient allocations (measured: a 4M
+# bound regressed the prepare stage 2x via allocation/GC pressure).
+_SIMHASH_CHUNK_GRAMS = 256_000
 
 
 def simhash_udf(

