@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # array-heavy operators (array_intersect, zip_with) allocate per row; a
+    # single local-mode JVM running 32 task threads on a 16g heap spends a
+    # large fraction of wall time in GC and stops scaling with threads --
+    # give the bench the headroom a per-executor heap would have.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     import __spark_entry__ as entry

@@ -176,7 +176,11 @@ class CheckpointCatalog:
                 resumed=True,
             )
             return self.table(name), res
+        # time df_fn() too: operators may run eager work (localCheckpoint
+        # phase boundaries) while BUILDING the frame, not just writing it
+        t0 = time.time()
         res = self.write(name, df_fn(), stage=stage, **kw)
+        res.seconds = time.time() - t0
         return self.table(name), res
 
     def drop(self, name: str) -> None:

@@ -79,6 +79,15 @@ class DedupConfig:
     containment_min_grams: int = 64    # shorter docs are noise, skip
     containment_threshold: float = 0.9  # |short ∩ long| / |short|
     containment_lcs_ratio: float = 0.8  # LCS-substring / len(short) fallback
+    # minimum distinct window-band collisions for a pair to become a
+    # candidate. A true containment aligns window pairs at Jaccard >= ~0.6
+    # (expected ~4 of 32 band hits per aligned window pair, and several
+    # window pairs), while boilerplate background collisions mostly hit
+    # once: 2 cuts the candidate set ~5x on the self-similar synthetic
+    # corpus at the cost of P(>=2 | >=1) ~= 0.94 per single aligned window
+    # in the worst alignment. Exactly-aligned windows (identical spans)
+    # always hit all bands, so prefix/suffix containment recall is exact.
+    containment_min_band_hits: int = 2
 
     # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
     top_n_predict: int = 100

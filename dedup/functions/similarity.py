@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 import pyspark.sql.functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 
@@ -249,7 +249,51 @@ def levenshtein_ratio_pairs(
 
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
-    return _ratio(cx, cy)
+    # asNondeterministic: an OPTIMIZER BARRIER, not a semantic statement --
+    # the kernel is pure. Without it, a filter on the ratio column is pushed
+    # through the explicit pre-UDF repartition() exchange and drags a
+    # duplicate ArrowEvalPython below it: the DP then runs TWICE, once
+    # inside the skinny (1-3 task) pre-shuffle stage, serializing the most
+    # CPU-heavy stage of the pipeline (measured 57s -> ~2s on the bench
+    # corpus verify tier).
+    return _ratio.asNondeterministic()(cx, cy)
+
+
+_CCV_BINS = 64
+
+
+def char_count_vector_udf(text: Column | str, bins: int = _CCV_BINS) -> Column:
+    """Per-DOC folded byte-count vector (array<int> of ``bins``): UTF-8
+    byte values bucketed mod ``bins``. Feeds the exact bag-distance lower
+    bound below; computed once per doc (never per pair)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _ccv(xs: pd.Series) -> pd.Series:
+        out = []
+        for s in xs.fillna(""):
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            out.append(np.bincount(b % bins, minlength=bins).astype(np.int32))
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _ccv(c)
+
+
+def bag_l1_col(ccv_a: Column | str, ccv_b: Column | str) -> Column:
+    """L1 distance between two char-count vectors -- an EXACT lower bound
+    on the byte-level indel distance: every unit insert/delete changes one
+    (folded) byte count by exactly 1, so d >= L1(counts_a, counts_b); and
+    token-sorting preserves byte counts, so the same bound holds for the
+    token-sort ratio. A pair with L1 > (1 - thr/100) * (len_a + len_b) can
+    therefore never clear the staged ratio threshold -- droppable BEFORE
+    the DP, with zero recall loss (bound is exact, not probabilistic)."""
+    ca = F.col(ccv_a) if isinstance(ccv_a, str) else ccv_a
+    cb = F.col(ccv_b) if isinstance(ccv_b, str) else ccv_b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def indel_distance_pairs(
@@ -270,7 +314,8 @@ def indel_distance_pairs(
 
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
-    return _dist(cx, cy)
+    # optimizer barrier (see levenshtein_ratio_pairs) -- kernel is pure
+    return _dist.asNondeterministic()(cx, cy)
 
 
 def staged_levenshtein_ratio_col(
@@ -299,8 +344,9 @@ def staged_levenshtein_ratio_col(
 
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
+    # optimizer barrier (see levenshtein_ratio_pairs) -- kernel is pure
     return F.when(deletion_ratio_col(cx, cy) < F.lit(float(thr)), F.lit(0)).otherwise(
-        _staged(cx, cy)
+        _staged.asNondeterministic()(cx, cy)
     )
 
 

@@ -35,27 +35,50 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _mulmod_p(a: np.uint64, x: np.ndarray) -> np.ndarray:
+def _mulmod_p(a: np.uint64, x: np.ndarray, work: np.ndarray | None = None) -> np.ndarray:
     """(a * x) mod (2^61-1) for inputs < 2^61, without 128-bit ints: split
     both operands into 31/30-bit halves so every partial product fits in
-    uint64, then fold with the Mersenne identity 2^61 ≡ 1 (mod p)."""
+    uint64, then fold with the Mersenne identity 2^61 ≡ 1 (mod p).
+
+    Allocation-light: uses (and optionally reuses via ``work``, shape
+    (3, len(x))) three scratch vectors with in-place ufuncs -- the kernel
+    is memory-bandwidth-bound at scale, so every avoided pass over a
+    G-length vector is wall time."""
     p = MERSENNE_PRIME
     one, m31, m30 = np.uint64(1), np.uint64(31), np.uint64(30)
     mask31 = np.uint64((1 << 31) - 1)
     mask30 = np.uint64((1 << 30) - 1)
     a1, a0 = a >> m31, a & mask31          # a1 < 2^30, a0 < 2^31
-    x1, x0 = x >> m31, x & mask31          # x1 < 2^30, x0 < 2^31
+    if work is None or work.shape != (3, len(x)):
+        work = np.empty((3, len(x)), dtype=np.uint64)
+    acc, u, v = work[0], work[1], work[2]
     # a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
-    t2 = ((a1 * x1) << one) % p            # 2^62 ≡ 2 (mod p); a1*x1 < 2^60
-    mid = a1 * x0 + a0 * x1                # < 2^62, fits
-    m_hi, m_lo = mid >> m30, mid & mask30  # mid = m_hi*2^30 + m_lo
-    t1 = (m_hi + (m_lo << m31)) % p        # mid*2^31 ≡ m_hi + m_lo*2^31
-    t0 = (a0 * x0) % p                     # < 2^62, fits
-    return (t2 + t1 + t0) % p
+    np.right_shift(x, m31, out=v)          # v = x1 < 2^30
+    np.multiply(v, a1, out=acc)            # a1*x1 < 2^60
+    np.left_shift(acc, one, out=acc)       # *2^62 ≡ *2 (mod p)
+    np.remainder(acc, p, out=acc)          # acc = t2
+    np.multiply(v, a0, out=v)              # v = a0*x1
+    np.bitwise_and(x, mask31, out=u)       # u = x0 < 2^31
+    np.multiply(u, a1, out=u)              # u = a1*x0
+    np.add(v, u, out=v)                    # v = mid = a1*x0 + a0*x1 < 2^62
+    # mid*2^31 ≡ (mid >> 30) + ((mid & mask30) << 31) (mod p)
+    np.bitwise_and(v, mask30, out=u)
+    np.left_shift(u, m31, out=u)
+    np.right_shift(v, m30, out=v)
+    np.add(v, u, out=v)
+    np.remainder(v, p, out=v)              # v = t1
+    np.add(acc, v, out=acc)
+    np.bitwise_and(x, mask31, out=u)       # recompute x0 (destroyed above)
+    np.multiply(u, a0, out=u)              # a0*x0 < 2^62
+    np.remainder(u, p, out=u)              # u = t0
+    np.add(acc, u, out=acc)
+    np.remainder(acc, p, out=acc)
+    return acc
 
 
 def _perm_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """All-permutation hash matrix: shape (num_perm, len(x)), uint64 < p."""
+    """All-permutation hash matrix: shape (num_perm, len(x)), uint64 < p.
+    Only for small x (tests / tiny batches): materializes num_perm * |x|."""
     p = MERSENNE_PRIME
     out = np.empty((len(a), len(x)), dtype=np.uint64)
     for i in range(len(a)):
@@ -68,33 +91,70 @@ def _to_field(hashes: np.ndarray) -> np.ndarray:
     return hashes.astype(np.uint64) % MERSENNE_PRIME
 
 
+# bound on total shingle count per vectorized MinHash chunk. The kernel
+# streams ONE permutation's G-vector at a time (~8 bytes/gram + mulmod
+# temporaries), so the chunk working set is ~10 * 8 * G bytes: 512k grams
+# ~= 40 MB, comfortably cache/bandwidth friendly. Materializing the full
+# (num_perm, G) matrix instead (128 * G * 8B = 4 GB at a 4M-gram Arrow
+# batch) made the prepare stage MEMORY-BANDWIDTH-bound: wall time barely
+# moved from local[8] to local[32] (155s -> 141s measured) because every
+# core contended for the same DRAM channel.
+_MINHASH_CHUNK_GRAMS = 512_000
+
+
 def minhash_signature_udf(
     gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
 ) -> Column:
     """array<bigint> shingle hashes -> array<bigint> MinHash signature of
     length num_perm. Empty shingle sets get the MAX_HASH sentinel row (never
-    collides with a real min)."""
+    collides with a real min).
+
+    Vectorization shape: rows are chunked by total gram budget; inside a
+    chunk, each permutation is two vector ops + one np.minimum.reduceat
+    segment-min over the chunk's flat gram vector -- O(num_perm * G) work
+    with an O(G) working set (never O(num_perm * G) memory)."""
     a_params, b_params = config.perm_params()
     num_perm = config.num_perm
+    p = MERSENNE_PRIME
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(batches: pd.Series) -> pd.Series:
-        sizes = batches.apply(len).to_numpy(dtype=np.int64)
-        n = len(sizes)
+        n = len(batches)
         if n == 0:
             return pd.Series([], dtype=object)
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in batches if len(v)]
-        ) if sizes.sum() else np.empty(0, dtype=np.int64)
+        sizes = np.fromiter(
+            (0 if v is None else len(v) for v in batches), dtype=np.int64, count=n
+        )
         sigs = np.full((n, num_perm), int(MAX_HASH), dtype=np.uint64)
-        if len(flat):
-            x = _to_field(flat)
-            hm = _perm_hashes(x, a_params, b_params)  # (num_perm, G)
-            nonempty = sizes > 0
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(sizes[nonempty][:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(hm, offsets, axis=1)  # (num_perm, n_nonempty)
-            sigs[nonempty] = mins.T
+        start = 0
+        while start < n:
+            stop = start + 1
+            total = int(sizes[start])
+            while stop < n and total + sizes[stop] <= _MINHASH_CHUNK_GRAMS:
+                total += int(sizes[stop])
+                stop += 1
+            csizes = sizes[start:stop]
+            nonempty = csizes > 0
+            if nonempty.any():
+                flat = np.concatenate(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in batches.iloc[start:stop]
+                        if v is not None and len(v)
+                    ]
+                )
+                x = _to_field(flat)
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
+                block = sigs[start:stop]
+                ne_idx = np.nonzero(nonempty)[0]
+                work = np.empty((3, len(x)), dtype=np.uint64)
+                for i in range(num_perm):
+                    h = _mulmod_p(np.uint64(a_params[i]), x, work)
+                    np.add(h, b_params[i], out=h)
+                    np.remainder(h, p, out=h)
+                    block[ne_idx, i] = np.minimum.reduceat(h, offsets)
+            start = stop
         out = sigs.astype(np.int64)
         return pd.Series(list(out))
 

@@ -106,7 +106,10 @@ def lcs_substring_ratio_udf(text_a: Column | str, text_b: Column | str) -> Colum
 
     ca = F.col(text_a) if isinstance(text_a, str) else text_a
     cb = F.col(text_b) if isinstance(text_b, str) else text_b
-    return _ratio(ca, cb)
+    # optimizer barrier (see similarity.levenshtein_ratio_pairs): keeps the
+    # downstream lcs_ratio filter from dragging this UDF below the explicit
+    # repartition() exchange into a near-serial pre-shuffle stage.
+    return _ratio.asNondeterministic()(ca, cb)
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +182,12 @@ def containment_candidates(
             .otherwise(F.col("id_a"))
             .alias("id_long"),
         )
-        .dropDuplicates(["id_short", "id_long"])
+        # band-hit counting replaces a plain dedup: single-hit collisions
+        # are overwhelmingly boilerplate noise (config.containment_min_band_hits)
+        .groupBy("id_short", "id_long")
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+        .filter(F.col("band_hits") >= config.containment_min_band_hits)
+        .select("id_short", "id_long")
     )
     return pairs
 
@@ -188,48 +196,86 @@ def verify_containment(
     cands: DataFrame,
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
+    tracker: list[DataFrame] | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, containment, lcs_ratio, tier='containment') edges,
     canonical id order. Containment = |short ∩ long| / |short| on gram-hash
-    sets (native); LCS-substring UDF only for the uncertain band."""
+    sets (native); LCS-substring UDF only for the uncertain band.
+
+    THREE-PHASE (what rides the pair join dominates -- same lesson as
+    verify.py): (0) a narrow (doc_id, n_grams) join drops too-short pairs
+    before any array ships; (1) the gram-array join + intersection runs
+    ONCE and is checkpointed as a SKINNY (ids, containment) table -- the
+    sure/unsure branches must not each re-run the fat join, and the fat
+    arrays must not be materialized into the checkpoint; (2) texts join
+    only for the uncertain band that actually pays the LCS kernel."""
     thr = config.containment_threshold
-    g = prepared.select("doc_id", "gram_hashes", "norm_text")
-    joined = (
+
+    # phase 0: narrow length gate
+    sizes = prepared.select("doc_id", F.size("gram_hashes").alias("n_grams"))
+    cands = (
+        cands.join(
+            sizes.select(
+                F.col("doc_id").alias("id_short"), F.col("n_grams").alias("n_s")
+            ),
+            "id_short",
+        )
+        .filter(F.col("n_s") >= config.containment_min_grams)
+        .select("id_short", "id_long")
+    )
+
+    # phase 1: gram intersection, once, skinny output
+    g = prepared.select("doc_id", "gram_hashes")
+    scored = (
         cands.join(
             g.select(
-                F.col("doc_id").alias("id_short"),
-                F.col("gram_hashes").alias("gh_s"),
-                F.col("norm_text").alias("text_s"),
+                F.col("doc_id").alias("id_short"), F.col("gram_hashes").alias("gh_s")
             ),
             "id_short",
         )
         .join(
             g.select(
-                F.col("doc_id").alias("id_long"),
-                F.col("gram_hashes").alias("gh_l"),
-                F.col("norm_text").alias("text_l"),
+                F.col("doc_id").alias("id_long"), F.col("gram_hashes").alias("gh_l")
             ),
             "id_long",
         )
-        .filter(F.size("gh_s") >= config.containment_min_grams)
         .withColumn(
             "containment",
             F.size(F.array_intersect("gh_s", "gh_l")).cast("double")
             / F.size("gh_s").cast("double"),
         )
+        .filter(F.col("containment") >= thr - 0.2)  # below both bands: dead
+        .select("id_short", "id_long", "containment")
+        .localCheckpoint()
     )
-    sure = joined.filter(F.col("containment") >= thr).withColumn(
+    if tracker is not None:
+        tracker.append(scored)
+
+    sure = scored.filter(F.col("containment") >= thr).withColumn(
         "lcs_ratio", F.lit(None).cast("double")
     )
-    # uncertain band: gram containment diluted by edits inside the span --
-    # ask the substring kernel whether a long exact span still exists
+    # phase 2 -- uncertain band: gram containment diluted by edits inside
+    # the span; ask the substring kernel whether a long exact span still
+    # exists. Texts join HERE, for this band only.
+    t = prepared.select("doc_id", "norm_text")
     unsure = (
-        joined.filter(
-            (F.col("containment") >= thr - 0.2) & (F.col("containment") < thr)
+        scored.filter(F.col("containment") < thr)
+        .join(
+            t.select(
+                F.col("doc_id").alias("id_short"), F.col("norm_text").alias("text_s")
+            ),
+            "id_short",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("id_long"), F.col("norm_text").alias("text_l")
+            ),
+            "id_long",
         )
         .repartition(config.lev_partitions)
         .withColumn("lcs_ratio", lcs_substring_ratio_udf("text_s", "text_l"))
         .filter(F.col("lcs_ratio") >= config.containment_lcs_ratio)
+        .select("id_short", "id_long", "containment", "lcs_ratio")
     )
     out = sure.unionByName(unsure)
     return out.select(

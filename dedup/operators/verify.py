@@ -34,6 +34,8 @@ import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.similarity import (
+    bag_l1_col,
+    char_count_vector_udf,
     exact_jaccard_col,
     minhash_estimate_col,
     staged_levenshtein_ratio_col,
@@ -81,10 +83,20 @@ def verify_pairs(
     # phase. Repartition by pair key up front -- cheap shuffle, full
     # parallelism, deterministic layout.
     pairs = pairs.repartition(config.shuffle_partitions, "id_a", "id_b")
+    # char-count vectors are a per-DOC sketch (64 ints): they power the
+    # exact bag-distance lower bound on the pair side (bag_l1_col) that
+    # keeps boilerplate-similar pairs out of the Levenshtein DP entirely.
     light = prepared.select(
-        "doc_id", "minhash", "simhash", F.length("norm_text").alias("n_chars")
+        "doc_id",
+        "minhash",
+        "simhash",
+        F.length("norm_text").alias("n_chars"),
+        char_count_vector_udf("norm_text").alias("ccv"),
     )
-    la, lb = _two_sided(light, {"mh": "minhash", "sim": "simhash", "len": "n_chars"})
+    la, lb = _two_sided(
+        light, {"mh": "minhash", "sim": "simhash", "len": "n_chars", "ccv": "ccv"}
+    )
+    total_len = F.col("len_a") + F.col("len_b")
     p1 = (
         pairs.join(la, "id_a")
         .join(lb, "id_b")
@@ -92,18 +104,21 @@ def verify_pairs(
         .withColumn("hamming", hamming_col("sim_a", "sim_b"))
         .withColumn(
             "del_ratio",
-            F.when(
-                (F.col("len_a") + F.col("len_b")) == 0, F.lit(100.0)
-            ).otherwise(
-                (
-                    (F.col("len_a") + F.col("len_b"))
-                    - F.abs(F.col("len_a") - F.col("len_b"))
-                )
-                / (F.col("len_a") + F.col("len_b"))
+            F.when(total_len == 0, F.lit(100.0)).otherwise(
+                (total_len - F.abs(F.col("len_a") - F.col("len_b")))
+                / total_len
                 * 100.0
             ),
         )
-        .select("id_a", "id_b", "est", "hamming", "del_ratio")
+        # ratio > thr needs indel distance < (1 - thr/100)*total; bag L1 is
+        # an exact lower bound on that distance (and on the token-sort
+        # path's too), so failing this can NEVER pass the Levenshtein tier.
+        .withColumn(
+            "bag_ok",
+            bag_l1_col("ccv_a", "ccv_b")
+            <= total_len * F.lit(1.0 - thr / 100.0),
+        )
+        .select("id_a", "id_b", "est", "hamming", "del_ratio", "bag_ok")
     )
 
     gate = jaccard_gate_threshold(config)
@@ -116,7 +131,7 @@ def verify_pairs(
     p1 = p1.filter(
         (F.col("est") >= F.lit(gate))
         | sim_ok
-        | (F.col("del_ratio") >= F.lit(float(thr)))
+        | ((F.col("del_ratio") >= F.lit(float(thr))) & F.col("bag_ok"))
     ).localCheckpoint()
     if tracker is not None:
         tracker.append(p1)
@@ -152,7 +167,11 @@ def verify_pairs(
     # far below it can never pass the Levenshtein tier. This keeps
     # boilerplate-similar-length pairs from flooding the DP.
     need_lev = scored.filter(
-        ~jac_ok & ~sim_ok & del_ok & (F.col("est") >= F.lit(config.lev_est_gate))
+        ~jac_ok
+        & ~sim_ok
+        & del_ok
+        & F.col("bag_ok")
+        & (F.col("est") >= F.lit(config.lev_est_gate))
     ).select("id_a", "id_b", "jaccard", "hamming")
     ta, tb = _two_sided(prepared.select("doc_id", "norm_text"), {"text": "norm_text"})
     lev = (

@@ -139,7 +139,10 @@ def run_pipeline(
         containment, r = cat.write_or_resume(
             "containment_pairs",
             lambda: verify_containment(
-                containment_candidates(reps, config, tracker=tracker), reps, config
+                containment_candidates(reps, config, tracker=tracker),
+                reps,
+                config,
+                tracker=tracker,
             ),
         )
         report.stages.append(r)

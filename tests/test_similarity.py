@@ -122,3 +122,35 @@ def test_spark_columns_match_python(spark, config):
         assert r["staged"] == staged_ratio_py(r["x"], r["y"], config.lev_threshold)
         lx, ly = len(r["x"]), len(r["y"])
         assert r["delr"] == pytest.approx(((lx + ly - abs(lx - ly)) / (lx + ly)) * 100)
+
+
+def test_bag_l1_lower_bounds_indel_distance():
+    """The bag (char-count L1) distance must lower-bound the exact indel
+    distance for ANY folding -- the verify tier's pre-DP gate is only sound
+    if this holds (and it must also hold for token-sorted forms, whose
+    char counts are identical)."""
+    import random
+
+    import numpy as np
+
+    from dedup.functions.similarity import indel_distance_str, token_sort_py
+
+    rng = random.Random(17)
+    alphabet = "abcdefghij 0123"
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        d = indel_distance_str(a, b)
+        for bins in (64, 16, 7):
+            ca = np.bincount(
+                np.frombuffer(a.encode(), dtype=np.uint8) % bins, minlength=bins
+            )
+            cb = np.bincount(
+                np.frombuffer(b.encode(), dtype=np.uint8) % bins, minlength=bins
+            )
+            l1 = int(np.abs(ca - cb).sum())
+            assert l1 <= d, (a, b, bins, l1, d)
+        # token-sort preserves byte counts on single-spaced text
+        sa, sb = token_sort_py(" ".join(a.split())), token_sort_py(" ".join(b.split()))
+        assert sorted(sa) == sorted(" ".join(a.split()))
+        assert sorted(sb) == sorted(" ".join(b.split()))

@@ -3,7 +3,21 @@ sandbox proxy): run the identical dedup pipeline at local[N] and local[4N]
 on the same input in separate JVMs, report throughput at both plus
 efficiency = (T_N / T_4N) / 4.
 
-Usage: python tools/bench_scaling.py [n_small] [sf_dir]
+Methodology notes (this sandbox):
+  * wall-clock noise here is 1.5-2x run-to-run (shared host), so each
+    parallelism level runs ``repeats`` times INTERLEAVED (N, 4N, N, 4N, ...)
+    and the minimum per level is used -- min is the standard noise-robust
+    estimator for wall time on a shared machine.
+  * the corpus must be large enough that parallel compute dominates the
+    per-stage fixed costs (job scheduling, AQE planning rounds, Python
+    worker spin-up, checkpoint commit barriers). Those fixed costs are
+    O(stages), not O(data): at the 10^12-turn target they are irrelevant,
+    so measuring them as if they were the workload would make the proxy
+    say nothing about cluster scaling. ``convs`` (SPARK_GRAFT_BENCH_CONVS)
+    sizes the corpus; the default 8000 (~104k turns) makes the pipeline's
+    parallel region ~5-10x the fixed floor at local[8].
+
+Usage: python tools/bench_scaling.py [n_small] [sf_dir] [convs] [repeats]
 Writes BENCH_SCALING.json at the repo root.
 """
 
@@ -17,8 +31,10 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, sf_dir: str) -> dict:
+def run_once(cpus: int, sf_dir: str, convs: int | None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    if convs:
+        env["SPARK_GRAFT_BENCH_CONVS"] = str(convs)
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
@@ -35,20 +51,37 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    convs = int(sys.argv[3]) if len(sys.argv) > 3 else int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000")
+    )
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_big = n_small * 4
-    small = run_once(n_small, sf_dir)
-    big = run_once(n_big, sf_dir)
+
+    runs: dict[int, list[dict]] = {n_small: [], n_big: []}
+    for _ in range(repeats):
+        for n in (n_small, n_big):  # interleave to decorrelate host drift
+            runs[n].append(run_once(n, sf_dir, convs))
+
+    def best(n: int) -> dict:
+        return min(runs[n], key=lambda r: r["queries"]["pipeline_dedup"])
+
+    small, big = best(n_small), best(n_big)
     t_small = small["queries"]["pipeline_dedup"]
     t_big = big["queries"]["pipeline_dedup"]
     speedup = t_small / t_big
-    efficiency = speedup / 4
+    efficiency = speedup / (n_big / n_small)
     result = {
         "n_small": n_small,
         "n_big": n_big,
+        "convs": convs,
+        "turns": small["extras"]["turns"],
+        "repeats": repeats,
         "pipeline_secs_small": t_small,
         "pipeline_secs_big": t_big,
-        "turns_per_sec_small": small["extras"]["turns_per_sec"],
-        "turns_per_sec_big": big["extras"]["turns_per_sec"],
+        "pipeline_secs_small_all": [r["queries"]["pipeline_dedup"] for r in runs[n_small]],
+        "pipeline_secs_big_all": [r["queries"]["pipeline_dedup"] for r in runs[n_big]],
+        "turns_per_sec_small": best(n_small)["extras"]["turns_per_sec"],
+        "turns_per_sec_big": best(n_big)["extras"]["turns_per_sec"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "total_secs_small": small["value"],
