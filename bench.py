@@ -60,16 +60,32 @@ def main():
     tdf.count()
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     t0 = time.time()
-    run_pipeline(spark, tdf, wh, config)
+    report = run_pipeline(spark, tdf, wh, config)
     secs = time.time() - t0
     queries["pipeline_dedup"] = round(secs, 3)
     extras["turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / secs, 1)
+    # per-stage seconds: the evidence trail for the scaling-efficiency
+    # analysis (which stage stops scaling with cores) -- build-time per
+    # stage, measured by the checkpoint catalog.
+    extras["pipeline_stages"] = {
+        s.table: round(s.seconds, 3) for s in report.stages
+    }
     shutil.rmtree(wh, ignore_errors=True)
     tdf.unpersist()
+    spark.catalog.clearCache()
 
     # ---- operator benchmarks on driver tables ----
-    for name in [
+    # best-of-2 per query with a cache drain between runs: single-shot
+    # timings on this shared host swing 1.5-4x (r2's dup_clusters recorded
+    # 161s vs 42s fresh), and accumulated cache blocks from earlier queries
+    # starve later ones. drain_tracked() inside each entry query releases
+    # the previous query's caches; clearCache() sweeps anything else.
+    from dedup.tracking import drain_tracked
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    only_pipeline = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
+    for name in [] if only_pipeline else [
         "dup_pairs_jaccard",
         "idf_jaccard_topk",
         "text_stats",
@@ -78,9 +94,15 @@ def main():
         "assemble_events",
     ]:
         fn = entry.queries()[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            drain_tracked()
+            spark.catalog.clearCache()
+        queries[name] = round(best, 3)
         extras[f"{name}_rows"] = n
 
     total = round(sum(queries.values()), 3)

@@ -88,6 +88,12 @@ class DedupConfig:
     # in the worst alignment. Exactly-aligned windows (identical spans)
     # always hit all bands, so prefix/suffix containment recall is exact.
     containment_min_band_hits: int = 2
+    # The min-band-hits filter only applies to pairs whose EVERY collision
+    # came from a band group larger than this: a single-hit pair that met in
+    # a small (quiet) group is cheap to verify and is kept, so the ~6%
+    # worst-alignment recall loss of a blanket >=2 filter only arises inside
+    # genuinely noisy boilerplate groups where verification would blow up.
+    containment_noise_group_size: int = 16
 
     # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
     top_n_predict: int = 100

@@ -230,11 +230,12 @@ def token_sort_col(col: Column | str) -> Column:
 
 
 def levenshtein_ratio_pairs(
-    x: Column | str, y: Column | str, threshold: int | None = None
+    x: Column | str, y: Column | str, threshold: float | None = None
 ) -> Column:
     """Arrow-batched pandas UDF computing the cost-2 Levenshtein ratio per
     pair. ``threshold`` enables DP banding (early exit); pass None for the
-    exact unbanded ratio."""
+    exact unbanded ratio. Callers gating on the ROUNDED integer ratio must
+    pass (t - 0.5) so raw ratios in [t-0.5, t) stay inside the band."""
     thr = threshold
 
     @F.pandas_udf(IntegerType())
@@ -260,37 +261,54 @@ def levenshtein_ratio_pairs(
 
 
 _CCV_BINS = 64
+# bucket 0 is reserved for ALL whitespace bytes (space/tab/LF/CR) and is
+# EXCLUDED from the bag bound: token_sort_py rewrites every whitespace run
+# to a single space, so whitespace counts are NOT invariant under the
+# token-sort fallback (conversation norm_text keeps '\n' turn separators),
+# but non-whitespace byte counts are. Folding whitespace into a skippable
+# bucket keeps the bound exact for BOTH ratio paths.
+_WS_BYTES = (0x20, 0x09, 0x0A, 0x0D)
 
 
 def char_count_vector_udf(text: Column | str, bins: int = _CCV_BINS) -> Column:
-    """Per-DOC folded byte-count vector (array<int> of ``bins``): UTF-8
-    byte values bucketed mod ``bins``. Feeds the exact bag-distance lower
-    bound below; computed once per doc (never per pair)."""
+    """Per-DOC folded byte-count vector (array<int> of ``bins``): slot 0
+    counts whitespace bytes, non-whitespace byte values bucket into
+    1 + (byte % (bins-1)). Feeds the exact bag-distance lower bound below;
+    computed once per doc (never per pair)."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _ccv(xs: pd.Series) -> pd.Series:
         out = []
         for s in xs.fillna(""):
             b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-            out.append(np.bincount(b % bins, minlength=bins).astype(np.int32))
+            ws = (b == 0x20) | (b == 0x09) | (b == 0x0A) | (b == 0x0D)
+            folded = np.where(ws, 0, 1 + (b % (bins - 1)))
+            out.append(np.bincount(folded, minlength=bins).astype(np.int32))
         return pd.Series(out)
 
     c = F.col(text) if isinstance(text, str) else text
     return _ccv(c)
 
 
-def bag_l1_col(ccv_a: Column | str, ccv_b: Column | str) -> Column:
-    """L1 distance between two char-count vectors -- an EXACT lower bound
-    on the byte-level indel distance: every unit insert/delete changes one
-    (folded) byte count by exactly 1, so d >= L1(counts_a, counts_b); and
-    token-sorting preserves byte counts, so the same bound holds for the
-    token-sort ratio. A pair with L1 > (1 - thr/100) * (len_a + len_b) can
-    therefore never clear the staged ratio threshold -- droppable BEFORE
-    the DP, with zero recall loss (bound is exact, not probabilistic)."""
+def bag_l1_col(ccv_a: Column | str, ccv_b: Column | str, bins: int = _CCV_BINS) -> Column:
+    """L1 distance between the NON-WHITESPACE slots of two char-count
+    vectors -- an EXACT lower bound on the byte-level indel distance for
+    both staged-ratio paths: every unit insert/delete changes one folded
+    byte count by exactly 1, so d >= L1 over any subset of slots; and
+    token-sorting preserves all non-whitespace byte counts (it only
+    reorders tokens and rewrites whitespace runs), so the same reduced L1
+    also lower-bounds the token-sort path's distance. A pair with reduced
+    L1 > (1 - thr/100) * (len_a + len_b) can therefore never clear the
+    staged ratio threshold -- droppable BEFORE the DP, with zero recall
+    loss (bound is exact, not probabilistic), including for texts that
+    differ only in turn segmentation (whitespace kind)."""
     ca = F.col(ccv_a) if isinstance(ccv_a, str) else ccv_a
     cb = F.col(ccv_b) if isinstance(ccv_b, str) else ccv_b
+    # drop slot 0 (whitespace) from both sides before the elementwise |a-b|
+    ca_nw = F.slice(ca, 2, bins)
+    cb_nw = F.slice(cb, 2, bins)
     return F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: F.abs(x - y)),
+        F.zip_with(ca_nw, cb_nw, lambda x, y: F.abs(x - y)),
         F.lit(0),
         lambda acc, v: acc + v,
     )

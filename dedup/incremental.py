@@ -40,6 +40,7 @@ from dedup.functions.sketch import band_hashes_udf
 from dedup.operators.assemble import assemble_conversations
 from dedup.operators.candidates import candidate_pairs, prepare_docs
 from dedup.operators.verify import verify_pairs
+from dedup.tracking import register
 
 
 @dataclass
@@ -80,8 +81,7 @@ def incremental_dedup(
     # consumed by: new-new LSH, new-old band join, verify join, and the
     # caller's corpus append -- localCheckpoint so the sketch UDFs run once.
     new_prepared = new_prepared.localCheckpoint()
-    if tracker is not None:
-        tracker.append(new_prepared)
+    register(new_prepared, tracker)
 
     # new x new pairs: the ordinary LSH path on the (small) new side
     nn_res = candidate_pairs(new_prepared, config, tracker=tracker)
@@ -91,8 +91,7 @@ def incremental_dedup(
     # touched only through its postings; the new side's postings broadcast
     # when micro-batch-sized.
     new_bands = _bands(new_prepared, config).localCheckpoint()
-    if tracker is not None:
-        tracker.append(new_bands)
+    register(new_bands, tracker)
     old_bands = (
         existing_bands
         if existing_bands is not None
@@ -139,8 +138,7 @@ def incremental_dedup(
 
     pairs = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])
     pairs = pairs.localCheckpoint()
-    if tracker is not None:
-        tracker.append(pairs)
+    register(pairs, tracker)
 
     # 3. heavy columns only for docs that appear in a pair: the corpus'
     #    gram arrays / text never shuffle per batch.
@@ -152,7 +150,28 @@ def incremental_dedup(
     existing_needed = existing_prepared.join(
         F.broadcast(pair_ids), "doc_id", "left_semi"
     )
-    both = new_prepared.unionByName(existing_needed).dropDuplicates(["doc_id"])
+    # SUPERSEDE semantics (cross-batch conversation assembly): when the
+    # caller's corpus carries a ``batch`` version column, a doc re-prepared
+    # in a later batch supersedes its older partial rows -- latest wins.
+    # The window runs AFTER the semi-join prune, so it only ever sorts the
+    # handful of fetched rows, preserving the O(batch) contract.
+    if "batch" in existing_needed.columns:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("batch").desc())
+        existing_needed = (
+            existing_needed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch")
+        )
+    # deterministic new-wins union: a re-seen doc exists on BOTH sides (its
+    # re-prepared full version in new_prepared, its superseded partial in
+    # the corpus); verification must see the new version, never an
+    # arbitrary dropDuplicates winner.
+    existing_only = existing_needed.join(
+        F.broadcast(new_prepared.select("doc_id")), "doc_id", "left_anti"
+    )
+    both = new_prepared.unionByName(existing_only).dropDuplicates(["doc_id"])
     verified = verify_pairs(pairs, both, config, tracker=tracker)
     return IncrementalResult(
         new_prepared=new_prepared,

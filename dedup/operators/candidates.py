@@ -34,6 +34,7 @@ from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.normalize import normalize_text_col, normalize_ascii_col
 from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
 from dedup.functions.sketch import minhash_signature_udf, band_hashes_udf, simhash_udf
+from dedup.tracking import register
 
 
 def prepare_docs(
@@ -111,8 +112,7 @@ def candidate_pairs(
             "band_idx", "band_hash"
         ),
     ).persist()
-    if tracker is not None:
-        tracker.append(bands)
+    register(bands, tracker)
 
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("group_size")
@@ -134,8 +134,7 @@ def candidate_pairs(
         .select("band_idx", "band_hash", "doc_id", "group_size")
         .persist()
     )
-    if tracker is not None:
-        tracker.append(postings)
+    register(postings, tracker)
 
     # Split skew-join: groups under the hotness threshold take a plain
     # band-key equi-join; hot groups (the boilerplate tail) take a SALTED

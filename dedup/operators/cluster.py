@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
+from dedup.tracking import register, release_blocks
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -99,6 +100,7 @@ def connected_components(
     config: DedupConfig = DEFAULT_CONFIG,
     src: str = "id_a",
     dst: str = "id_b",
+    tracker: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Edge list -> (node, cluster_id) with cluster_id = min node id of the
     component. Nodes appearing only in ``edges``; callers union singleton
@@ -127,10 +129,18 @@ def connected_components(
         .localCheckpoint()
     )
     if config.cc_driver_threshold and e.count() <= config.cc_driver_threshold:
-        return _driver_union_find(e)
+        out = _driver_union_find(e)
+        # the union-find result is a fresh createDataFrame with no lineage
+        # into `e` -- release the checkpoint blocks immediately
+        release_blocks(e)
+        return out
     prev = _stats(e)
     for _ in range(config.cc_max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()
+        # e2 is EAGER: the previous round's checkpoint blocks are no longer
+        # reachable by anything -- free them now, or a 20-round convergence
+        # holds 20 generations of the edge set in the block manager.
+        release_blocks(e)
         cur = _stats(e2)
         e = e2
         if cur["n"] == prev["n"] and cur["h"] == prev["h"]:
@@ -141,6 +151,10 @@ def connected_components(
             f"connected_components did not converge in {config.cc_max_iterations} rounds"
         )
 
+    # After convergence the returned frame still READS the final checkpoint:
+    # register it for deferred release (pipeline drains after the clusters
+    # table commits; trackerless callers drain at the next drain_tracked()).
+    register(e, tracker)
     # After convergence the edges form stars (v -> component minimum).
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id"))

@@ -34,6 +34,7 @@ from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.sketch import band_hashes_udf, minhash_signature_udf
+from dedup.tracking import register
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +157,7 @@ def containment_candidates(
             band_hashes_udf(minhash_signature_udf("win_hashes", config), config)
         ).alias("band_idx", "band_hash"),
     ).persist()
-    if tracker is not None:
-        tracker.append(bands)
+    register(bands, tracker)
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("gsz")
     )
@@ -166,7 +166,7 @@ def containment_candidates(
         ["band_idx", "band_hash"],
     )
     left = postings.select(
-        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("n_grams").alias("na")
+        "band_idx", "band_hash", "gsz", F.col("id").alias("id_a"), F.col("n_grams").alias("na")
     )
     right = postings.select(
         "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("n_grams").alias("nb")
@@ -181,12 +181,24 @@ def containment_candidates(
             F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
             .otherwise(F.col("id_a"))
             .alias("id_long"),
+            "gsz",
         )
-        # band-hit counting replaces a plain dedup: single-hit collisions
-        # are overwhelmingly boilerplate noise (config.containment_min_band_hits)
+        # band-hit counting replaces a plain dedup, but the noise filter is
+        # CONDITIONAL on collision-group size: a pair whose best collision
+        # happened in a quiet band group (gsz <= noise_group_size) is kept
+        # even with a single hit -- it is cheap to verify and dropping it
+        # would silently lose edit-diluted single-window containments. Only
+        # pairs that exclusively collide inside big boilerplate groups must
+        # clear containment_min_band_hits.
         .groupBy("id_short", "id_long")
-        .agg(F.count(F.lit(1)).alias("band_hits"))
-        .filter(F.col("band_hits") >= config.containment_min_band_hits)
+        .agg(
+            F.count(F.lit(1)).alias("band_hits"),
+            F.min("gsz").alias("min_gsz"),
+        )
+        .filter(
+            (F.col("band_hits") >= config.containment_min_band_hits)
+            | (F.col("min_gsz") <= config.containment_noise_group_size)
+        )
         .select("id_short", "id_long")
     )
     return pairs
@@ -248,8 +260,7 @@ def verify_containment(
         .select("id_short", "id_long", "containment")
         .localCheckpoint()
     )
-    if tracker is not None:
-        tracker.append(scored)
+    register(scored, tracker)
 
     sure = scored.filter(F.col("containment") >= thr).withColumn(
         "lcs_ratio", F.lit(None).cast("double")

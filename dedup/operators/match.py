@@ -49,6 +49,7 @@ from dedup.functions.similarity import (
     token_sort_col,
 )
 from dedup.operators.grouping import grouped_top_k, group_argmax_unique
+from dedup.tracking import track
 
 NOT_FOUND = -1  # reference TRAIN_NOT_FOUND_VALUE, settings.py:33
 
@@ -115,8 +116,10 @@ def jaccard_topk_candidates(
     # idf is small (one row per distinct gram with df >= 1) and is joined
     # THREE times (query side, truth side, and transitively the sums);
     # cache it so the distributed agg runs once. At corpus scale this table
-    # is still only |distinct grams| rows -- broadcastable.
-    idf = truth_idf(truth, config).cache()
+    # is still only |distinct grams| rows -- broadcastable. Registered with
+    # the session tracker: the returned frame is lazy, so release happens
+    # at the next drain point (bench/driver loop), not here.
+    idf = track(truth_idf(truth, config).cache())
     max_idf = idf.agg(F.max("idf")).first()[0]
 
     q_grams = queries.select(
@@ -206,13 +209,15 @@ def match_titles(
     # normalized+shingled sides feed multiple cascade tiers (exact join,
     # candidate gen, close-match re-join, finalize anti-join): cache both
     # so normalization runs once per row. (The pipeline equivalent is the
-    # checkpointed 'prepared' stage table.)
-    queries = (
+    # checkpointed 'prepared' stage table.) Tracked for deferred release --
+    # repeated match_titles calls in one driver (accuracy harness loop, a
+    # matching service) must not accumulate blocks.
+    queries = track(
         _with_norm_and_grams(queries_raw, "title", config)
         .select("query_id", "norm_text", "grams")
         .cache()
     )
-    truth = (
+    truth = track(
         _with_norm_and_grams(truth_raw, "title", config)
         .select("title_id", "norm_text", "grams")
         .cache()
@@ -248,7 +253,13 @@ def match_titles(
     # or win an argmax from a >=gate row.
     t4 = config.match_accept_ratio
     thr = config.lev_threshold
-    gate = min(thr, t4) if t4 else thr
+    # Rounding-aware gating: emitted ratios are int(round(...)), so a pair
+    # whose ROUNDED ratio reaches the acceptance threshold t can have a raw
+    # ratio as low as t - 0.5. Band the DP and filter the deletion ratio at
+    # (gate - 0.5) so every pair that can round up to the gate is computed
+    # exactly -- gating at the integer gate silently truncated raw ratios
+    # in [t-0.5, t) once total length outgrew the integer-implied band.
+    gate = (min(thr, t4) if t4 else thr) - 0.5
     pairs = (
         cands.join(
             remaining.select("query_id", F.col("norm_text").alias("q_text")),
@@ -259,7 +270,7 @@ def match_titles(
             "title_id",
         )
         .withColumn("del_ratio", deletion_ratio_col("q_text", "t_text"))
-        .filter(F.col("del_ratio") >= F.lit(float(gate)))
+        .filter(F.col("del_ratio") >= F.lit(gate))
         .withColumn(
             "lev", levenshtein_ratio_pairs("q_text", "t_text", threshold=gate)
         )
@@ -272,8 +283,9 @@ def match_titles(
         .select("query_id", "title_id", "del_ratio", "lev", "tsort")
     )
     # both tier branches read `pairs`; eager checkpoint so the two ratio
-    # UDF columns are computed once, not once per branch subtree.
-    pairs = pairs.localCheckpoint()
+    # UDF columns are computed once, not once per branch subtree. Tracked:
+    # checkpoint blocks live in the block manager like cache blocks do.
+    pairs = track(pairs.localCheckpoint())
 
     # tier 3 proper: the reference's staged chain reconstructed from the
     # two ratio columns (deletion gate -> lev -> token-sort fallback,

@@ -41,6 +41,7 @@ from dedup.functions.similarity import (
     staged_levenshtein_ratio_col,
 )
 from dedup.functions.sketch import hamming_col
+from dedup.tracking import register
 
 
 def jaccard_gate_threshold(config: DedupConfig) -> float:
@@ -133,8 +134,7 @@ def verify_pairs(
         | sim_ok
         | ((F.col("del_ratio") >= F.lit(float(thr))) & F.col("bag_ok"))
     ).localCheckpoint()
-    if tracker is not None:
-        tracker.append(p1)
+    register(p1, tracker)
 
     # ---- phase 2a: exact Jaccard for estimate-gate survivors ----------
     ga, gb = _two_sided(
@@ -154,8 +154,7 @@ def verify_pairs(
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .localCheckpoint()
     )
-    if tracker is not None:
-        tracker.append(scored)
+    register(scored, tracker)
 
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)
     del_ok = F.col("del_ratio") >= F.lit(float(thr))

@@ -88,9 +88,11 @@ def run_pipeline(
     tracker: list[DataFrame] = []
 
     def drain_tracker() -> None:
-        for df in tracker:
-            df.unpersist()
-        tracker.clear()
+        # release_blocks, not bare unpersist: localCheckpoint blocks are
+        # pinned at the RDD level and DataFrame.unpersist() won't free them
+        from dedup.tracking import drain
+
+        drain(tracker)
 
     assembled, r = cat.write_or_resume(
         "assembled", lambda: assemble_conversations(transcripts, config)
@@ -154,7 +156,7 @@ def run_pipeline(
         edges = near_edges.unionByName(exact_edges)
         if containment is not None:
             edges = edges.unionByName(containment.select("id_a", "id_b"))
-        cc = connected_components(edges, config)
+        cc = connected_components(edges, config, tracker=tracker)
         # singletons: docs in no edge get their own cluster
         all_docs = prepared.select(F.col("doc_id").alias("node"))
         out = (

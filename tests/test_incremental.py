@@ -133,3 +133,87 @@ def test_streaming_maintains_bands_table(spark, config, tmp_path):
     # make_corpus plants near-dup variant conversations beyond the base 12
     assert n_docs == corpus.transcripts.conv_id.nunique()
     assert n_bands == config.lsh_bands * n_docs
+
+
+def test_streaming_cross_batch_conversation_assembly(spark, config, tmp_path):
+    """A conversation whose turns ARRIVE SPLIT across two micro-batches must
+    end up identical to the single-batch run: the re-seen batch re-assembles
+    the full turn set, supersedes the partial doc (latest-batch-wins view),
+    and re-verifies its edges (r2 verdict item 3 -- this replaces the old
+    'partition input by conv_id' dodge)."""
+    import os
+    import shutil
+    import time
+
+    from dedup.streaming import (
+        corpus_prepared_view,
+        read_transcript_stream,
+        start_streaming_dedup,
+        stream_edges_view,
+    )
+
+    corpus = make_corpus(n_conversations=12, dup_fraction=0.4, seed=101)
+    src = spark.createDataFrame(corpus.transcripts).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    # choose a conversation with >= 4 turns and split its turns in half
+    counts = corpus.transcripts.groupby("conv_id").size()
+    split_conv = sorted(counts[counts >= 4].index)[0]
+    half = int(counts[split_conv]) // 2
+    part1 = src.filter(
+        (F.col("conv_id") != split_conv) | (F.col("turn_idx") < half)
+    )
+    part2 = src.filter(
+        (F.col("conv_id") == split_conv) & (F.col("turn_idx") >= half)
+    )
+
+    def _write_single_file(df, in_dir, name, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(in_dir, exist_ok=True)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, name)
+        shutil.move(os.path.join(staging, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    in_split = str(tmp_path / "in_split")
+    _write_single_file(part1, in_split, "a.parquet", now - 120)
+    _write_single_file(part2, in_split, "b.parquet", now)
+    in_ref = str(tmp_path / "in_ref")
+    _write_single_file(src, in_ref, "all.parquet", now)
+
+    wh_split, wh_ref = str(tmp_path / "wh_split"), str(tmp_path / "wh_ref")
+    for in_dir, wh, per_trigger in ((in_split, wh_split, 1), (in_ref, wh_ref, 2)):
+        q = start_streaming_dedup(
+            spark,
+            read_transcript_stream(spark, in_dir, max_files_per_trigger=per_trigger),
+            wh,
+            config,
+            checkpoint_dir=str(tmp_path / f"ckpt_{os.path.basename(wh)}"),
+        )
+        q.awaitTermination(300)
+
+    # the scenario really happened: the split conv has a superseded row
+    raw = spark.read.parquet(f"{wh_split}/corpus_prepared")
+    assert raw.filter(F.col("doc_id") == split_conv).count() == 2
+
+    # latest-wins corpus view matches the single-batch run exactly
+    v_split = {
+        (r["doc_id"], r["norm_text"])
+        for r in corpus_prepared_view(spark, wh_split).collect()
+    }
+    v_ref = {
+        (r["doc_id"], r["norm_text"])
+        for r in corpus_prepared_view(spark, wh_ref).collect()
+    }
+    assert v_split == v_ref
+
+    # current-edge view matches the single-batch edge set
+    e_split = {
+        (r["id_a"], r["id_b"]) for r in stream_edges_view(spark, wh_split).collect()
+    }
+    e_ref = {
+        (r["id_a"], r["id_b"]) for r in stream_edges_view(spark, wh_ref).collect()
+    }
+    assert e_split == e_ref

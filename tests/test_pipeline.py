@@ -79,3 +79,24 @@ def test_config_change_invalidates_checkpoints(spark, config, corpus, tmp_path_f
     other = config.with_(jaccard_threshold=0.9)
     report = run_pipeline(spark, tdf, wh, other)
     assert not any(s.resumed for s in report.stages)  # fingerprint mismatch
+
+
+def test_pipeline_releases_all_cached_blocks(spark, config, corpus, tmp_path_factory):
+    """After run_pipeline returns, NO cached/localCheckpointed RDD blocks
+    may remain registered: a long-lived driver (bench loop, streaming,
+    service) must not accumulate block-manager state across runs (r1 item 8
+    / r2 verdict item 6). getPersistentRDDs is the source of truth for both
+    .persist() and .localCheckpoint() blocks."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    # drop anything earlier module tests left behind so the assertion
+    # isolates run_pipeline's own behavior
+    for rdd_id in list(spark.sparkContext._jsc.getPersistentRDDs().keySet()):
+        try:
+            jsc.unpersistRDD(rdd_id, True)
+        except Exception:
+            pass
+    wh = str(tmp_path_factory.mktemp("wh_blocks"))
+    run_pipeline(spark, spark.createDataFrame(corpus.transcripts), wh, config)
+    retained = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert not retained, f"leaked persistent RDDs: {retained}"

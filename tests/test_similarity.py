@@ -154,3 +154,64 @@ def test_bag_l1_lower_bounds_indel_distance():
         sa, sb = token_sort_py(" ".join(a.split())), token_sort_py(" ".join(b.split()))
         assert sorted(sa) == sorted(" ".join(a.split()))
         assert sorted(sb) == sorted(" ".join(b.split()))
+
+
+def _fold_ws(s: str, bins: int = 64):
+    """Mirror of char_count_vector_udf's folding: slot 0 = whitespace,
+    non-ws bytes -> 1 + (byte % (bins-1))."""
+    import numpy as np
+
+    b = np.frombuffer(s.encode(), dtype=np.uint8)
+    ws = (b == 0x20) | (b == 0x09) | (b == 0x0A) | (b == 0x0D)
+    return np.bincount(np.where(ws, 0, 1 + (b % (bins - 1))), minlength=bins)
+
+
+def test_bag_bound_whitespace_agnostic_soundness():
+    """The REDUCED bag L1 (whitespace slot excluded) must lower-bound the
+    indel distance of BOTH staged-ratio paths -- including the token-sort
+    path on multi-whitespace text, where token_sort_py rewrites '\\n'/'\\t'
+    runs to single spaces and the unreduced bound was unsound (r2 advice)."""
+    import random
+
+    import numpy as np
+
+    from dedup.functions.similarity import indel_distance_str, token_sort_py
+
+    rng = random.Random(7)
+    for _ in range(400):
+        x = "".join(rng.choice("abc \n\t") for _ in range(rng.randint(0, 40)))
+        y = "".join(rng.choice("abc \n\t") for _ in range(rng.randint(0, 40)))
+        l1 = int(np.abs(_fold_ws(x)[1:] - _fold_ws(y)[1:]).sum())
+        assert l1 <= indel_distance_str(x, y)
+        assert l1 <= indel_distance_str(token_sort_py(x), token_sort_py(y))
+
+
+def test_bag_gate_keeps_turn_segmentation_duplicates(spark):
+    """Regression (r2 advice, verify.py bag gate): a pair with identical
+    token content but different TURN segmentation (different '\\n'
+    placement/count -- exactly what conversation norm_text produces) is a
+    true duplicate via the token-sort path (ratio 100), and the
+    whitespace-agnostic bag bound must keep it. The unreduced bound counted
+    the separator-kind mismatch (L1 8 > 0.06 * total 4.2 here) and dropped
+    the edge before the DP."""
+    import pyspark.sql.functions as F
+
+    from dedup.functions.similarity import (
+        bag_l1_col,
+        char_count_vector_udf,
+        staged_ratio_py,
+    )
+
+    a = "alpha beta\ngamma\ndelta\nepsilon\nzeta"
+    b = "delta epsilon zeta alpha beta gamma"
+    assert staged_ratio_py(a, b, 94) == 100  # true duplicate (token-sort)
+    df = spark.createDataFrame([(a, b)], "ta string, tb string").select(
+        char_count_vector_udf("ta").alias("ca"),
+        char_count_vector_udf("tb").alias("cb"),
+        (F.length("ta") + F.length("tb")).alias("total"),
+    )
+    row = df.select(
+        bag_l1_col("ca", "cb").alias("l1"), F.col("total")
+    ).first()
+    assert row["l1"] == 0  # non-ws content identical
+    assert row["l1"] <= row["total"] * (1 - 94 / 100.0)  # bag_ok: kept
