@@ -125,6 +125,38 @@ def q_jaccard_topk(spark, sf_dir):
     return top.select("query_id", "title_id", F.col("score_r").alias("score"))
 
 
+# tier-2 pruned-plan cutoff for the entry query below: grams with truth-df
+# <= this generate candidates; scores are then EXACT over all shared grams
+# (dedup/operators/match.py pruned plan). Small enough to actually prune
+# stop-grams at sf0.01 (500 truth docs), large enough to keep a dense pool.
+_PRUNE_CUTOFF = 25
+
+
+def q_jaccard_pruned(spark, sf_dir):
+    """The PRUNED tier-2 plan under the correctness gate (r2 verdict item 5):
+    candidates are generated only through rare grams (truth-df <= cutoff),
+    then rescored exactly over ALL shared grams. The oracle enumerates the
+    same pool -- pairs sharing at least one rare gram -- and computes the
+    same full-intersection score, so hash equality gates the pruned plan's
+    own guarantee: emitted scores identical to the exact plan, pool pruned
+    only of pairs sharing exclusively stop-grams."""
+    from dedup.operators.match import jaccard_topk_candidates
+
+    d = track_cache(
+        _norm_docs(spark, sf_dir).withColumn("grams", char_ngrams_col("norm_text", 3))
+    )
+    queries = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), "norm_text", "grams"
+    )
+    truth = d.select(F.col("doc_id").alias("title_id"), "norm_text", "grams")
+    scored = jaccard_topk_candidates(
+        queries, truth, CFG.with_(gram_df_cutoff=_PRUNE_CUTOFF), top_n=None
+    )
+    return scored.select(
+        "query_id", "title_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_dup_pairs(spark, sf_dir):
     """Near-dup pairs at exact-Jaccard >= 0.8: LSH candidates verified by
     exact shingle Jaccard. Oracle is brute-force all-pairs -- equality IS
@@ -422,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_doc_freq": _draining(q_ngram_df),
         "word_idf": _draining(q_word_idf),
         "idf_jaccard_topk": _draining(q_jaccard_topk),
+        "idf_jaccard_pruned": _draining(q_jaccard_pruned),
         "dup_pairs_jaccard": _draining(q_dup_pairs),
         "dup_clusters": _draining(q_dup_clusters),
         "assemble_events": _draining(q_assemble_events),
@@ -531,6 +564,37 @@ def oracle_sql() -> dict[str, str]:
               from scored
             )
             select query_id, title_id, score from ranked where rn <= 5
+        """,
+        "idf_jaccard_pruned": f"""
+            with {_NORM_CTE}, {_GRAMS_CTE},
+            n as (select count(*) as n_truth from norm),
+            idf as (select gram, count(*) as df,
+                           ln((select n_truth from n) * 1.0 / count(*)) as idf
+                    from grams group by gram),
+            sums as (select doc_id, sum(idf) as s
+                     from grams join idf using (gram) group by doc_id),
+            q as (select doc_id as query_id from norm where doc_id % 10 = 0),
+            cand as (
+              select distinct a.doc_id as query_id, b.doc_id as title_id
+              from grams a
+              join grams b on a.gram = b.gram
+              join idf on idf.gram = a.gram
+              where a.doc_id in (select query_id from q)
+                and idf.df <= {_PRUNE_CUTOFF}
+            ),
+            inter as (
+              select a.doc_id as query_id, b.doc_id as title_id,
+                     sum(idf.idf) as i
+              from grams a join grams b on a.gram = b.gram
+              join idf on idf.gram = a.gram
+              join cand on cand.query_id = a.doc_id and cand.title_id = b.doc_id
+              group by 1, 2
+            )
+            select query_id, title_id,
+                   round(i / (st.s + sq.s - i), 6) as score
+            from inter
+            join sums sq on sq.doc_id = query_id
+            join sums st on st.doc_id = title_id
         """,
         "dup_pairs_jaccard": _PAIRS_SQL,
         "dup_clusters": f"""

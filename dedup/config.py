@@ -68,6 +68,19 @@ class DedupConfig:
     max_band_group: int = 200
     # salt fan-out used to split moderately hot band groups across tasks
     salt_buckets: int = 8
+    # Candidate pairs must collide in at least this many DISTINCT bands,
+    # UNLESS their quietest colliding band group is <= lsh_noise_group_size
+    # (then a single hit suffices). Math: at (b=32, r=4) a J>=0.8 pair
+    # collides per band with p = J^4 >= 0.41, so P(<2 hits) <= 5e-6 --
+    # recall is untouched -- while boilerplate-similarity pairs (J ~ 0.3-
+    # 0.5, the r=4 knee's soft tail) mostly collide once inside big
+    # groups: measured 3-4x fewer candidate pairs on the bench corpus
+    # (5.2M -> ~1.5M at 14k docs), which is what the non-scaling verify
+    # phase-1 sketch join was choking on. The group-size exemption keeps
+    # isolated low-J true pairs (e.g. Levenshtein-tier duplicates near the
+    # gram floor) that collide once in a quiet band.
+    lsh_min_band_hits: int = 2
+    lsh_noise_group_size: int = 16
     # band groups larger than this take the salted-join path; smaller ones
     # join plainly (salting everything would n_salt-x the shuffle volume)
     salt_hot_threshold: int = 32
@@ -94,6 +107,19 @@ class DedupConfig:
     # worst-alignment recall loss of a blanket >=2 filter only arises inside
     # genuinely noisy boilerplate groups where verification would blow up.
     containment_noise_group_size: int = 16
+    # Ranked partner caps: each short doc keeps at most this many candidate
+    # long partners (and each long doc at most 4x as many shorts), ranked
+    # by band-hit count (strongest window-collision signal first,
+    # deterministic id tiebreak). A doc colliding with hundreds of partners
+    # is shared boilerplate, and verifying every such pair is what shipped
+    # ~50 GB of gram arrays through the verify join on the bench corpus
+    # (1.6M candidate pairs from 14k docs). True containments rank at the
+    # top: an aligned (prefix/suffix) containment hits nearly every band of
+    # every short window, and even edit-diluted mid-embeddings outrank
+    # single-collision span noise. Capped pairs within a boilerplate family
+    # remain reachable through the family's stronger edges (clustering is
+    # transitive); the cap mirrors max_band_group's role upstream.
+    containment_max_partners: int = 16
 
     # --- cascade (reference: top-100 predict / top-10 train, settings.py:55-56) ---
     top_n_predict: int = 100
@@ -116,6 +142,18 @@ class DedupConfig:
     # (reference-with-model golden: 633). 0 disables the tier (pure
     # reference tiers 1-3).
     match_accept_ratio: int = 90
+    # Tier-4b score acceptance (still deterministic, still replacing the
+    # model tier): among a query's surviving candidates with
+    # max(lev, tsort) >= match_accept_score_ratio_floor, accept the unique
+    # score-argmax when its tier-2 IDF-weighted Jaccard score >= this.
+    # None/0 disables the branch. Values grid-searched on the reference's
+    # example TRAIN split only (tools/tune_accept.py).
+    match_accept_score: float | None = None
+    # ratio floor for the score branch; participates in the DP band gate
+    # (pairs below it may carry truncated ratios, so the floor must stay
+    # within the computed band). Keep well above 0: the floor widens the
+    # deletion gate and the DP band for every pair.
+    match_accept_score_ratio_floor: int = 70
 
     # --- partitioning / shuffle knobs ---
     shuffle_partitions: int = 32

@@ -35,6 +35,22 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
+def _fold61(v: np.ndarray, tmp: np.ndarray) -> None:
+    """In-place reduce v (any uint64) into [0, p) with the Mersenne
+    identity 2^61 ≡ 1 (mod p): v = (v >> 61) + (v & p), conditional
+    subtract. Shift/mask/add/compare only -- uint64 vector DIVISION
+    (np.remainder) has no SIMD path and benchmarked ~10x slower per
+    element than this fold; the three remainders per mulmod were most of
+    the MinHash kernel's wall time (and its memory-bandwidth pressure,
+    the reason the prepare stage stopped scaling with cores)."""
+    p = MERSENNE_PRIME
+    np.right_shift(v, np.uint64(61), out=tmp)
+    np.bitwise_and(v, p, out=v)
+    np.add(v, tmp, out=v)                  # < p + 7 (inputs < 2^64)
+    np.subtract(v, p, out=tmp)             # wraps below p
+    np.minimum(v, tmp, out=v)              # unsigned min picks the reduced one
+
+
 def _mulmod_p(a: np.uint64, x: np.ndarray, work: np.ndarray | None = None) -> np.ndarray:
     """(a * x) mod (2^61-1) for inputs < 2^61, without 128-bit ints: split
     both operands into 31/30-bit halves so every partial product fits in
@@ -43,8 +59,8 @@ def _mulmod_p(a: np.uint64, x: np.ndarray, work: np.ndarray | None = None) -> np
     Allocation-light: uses (and optionally reuses via ``work``, shape
     (3, len(x))) three scratch vectors with in-place ufuncs -- the kernel
     is memory-bandwidth-bound at scale, so every avoided pass over a
-    G-length vector is wall time."""
-    p = MERSENNE_PRIME
+    G-length vector is wall time. Division-free: all reductions go through
+    _fold61."""
     one, m31, m30 = np.uint64(1), np.uint64(31), np.uint64(30)
     mask31 = np.uint64((1 << 31) - 1)
     mask30 = np.uint64((1 << 30) - 1)
@@ -55,8 +71,7 @@ def _mulmod_p(a: np.uint64, x: np.ndarray, work: np.ndarray | None = None) -> np
     # a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
     np.right_shift(x, m31, out=v)          # v = x1 < 2^30
     np.multiply(v, a1, out=acc)            # a1*x1 < 2^60
-    np.left_shift(acc, one, out=acc)       # *2^62 ≡ *2 (mod p)
-    np.remainder(acc, p, out=acc)          # acc = t2
+    np.left_shift(acc, one, out=acc)       # *2^62 ≡ *2 (mod p); acc < 2^61
     np.multiply(v, a0, out=v)              # v = a0*x1
     np.bitwise_and(x, mask31, out=u)       # u = x0 < 2^31
     np.multiply(u, a1, out=u)              # u = a1*x0
@@ -65,14 +80,12 @@ def _mulmod_p(a: np.uint64, x: np.ndarray, work: np.ndarray | None = None) -> np
     np.bitwise_and(v, mask30, out=u)
     np.left_shift(u, m31, out=u)
     np.right_shift(v, m30, out=v)
-    np.add(v, u, out=v)
-    np.remainder(v, p, out=v)              # v = t1
-    np.add(acc, v, out=acc)
+    np.add(v, u, out=v)                    # v = t1 < 2^61 + 2^32
+    np.add(acc, v, out=acc)                # acc < 2^62 + 2^32
     np.bitwise_and(x, mask31, out=u)       # recompute x0 (destroyed above)
     np.multiply(u, a0, out=u)              # a0*x0 < 2^62
-    np.remainder(u, p, out=u)              # u = t0
-    np.add(acc, u, out=acc)
-    np.remainder(acc, p, out=acc)
+    np.add(acc, u, out=acc)                # acc < 2^63 + 2^62 -- fits uint64
+    _fold61(acc, u)
     return acc
 
 
@@ -149,10 +162,12 @@ def minhash_signature_udf(
                 block = sigs[start:stop]
                 ne_idx = np.nonzero(nonempty)[0]
                 work = np.empty((3, len(x)), dtype=np.uint64)
+                tmp = work[1]
                 for i in range(num_perm):
                     h = _mulmod_p(np.uint64(a_params[i]), x, work)
-                    np.add(h, b_params[i], out=h)
-                    np.remainder(h, p, out=h)
+                    np.add(h, b_params[i], out=h)      # < 2p, fits uint64
+                    np.subtract(h, p, out=tmp)         # division-free mod:
+                    np.minimum(h, tmp, out=h)          # wraps below p
                     block[ne_idx, i] = np.minimum.reduceat(h, offsets)
             start = stop
         out = sigs.astype(np.int64)

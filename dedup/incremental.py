@@ -113,27 +113,50 @@ def incremental_dedup(
     band_skew = old_sizes.filter(
         F.col("group_size") > config.max_band_group
     ).unionByName(nn_res.band_skew.select("band_idx", "band_hash", "group_size"))
+    # inner join (not semi): the pair filter below needs group_size to
+    # apply the hit-count noise exemption
     old_ok = old_hit.join(
         old_sizes.filter(F.col("group_size") <= config.max_band_group),
         ["band_idx", "band_hash"],
-        "left_semi",
+        "inner",
     )
 
     nb = new_bands
     if broadcast_new:
         nb = F.broadcast(nb)
+    # same band-hit-count discipline as candidates.py: single-hit pairs are
+    # candidates only when their quietest colliding group is small; pairs
+    # that only ever meet inside big boilerplate groups need >= 2 distinct
+    # band collisions (recall cost <= 5e-6 per true J>=0.8 pair). The group
+    # size here counts the OLD side of the pruned postings -- slightly more
+    # lenient than the batch path's full-group count, never stricter.
     no = (
         nb.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
         .join(
-            old_ok.select("band_idx", "band_hash", F.col("doc_id").alias("id_b")),
+            old_ok.select(
+                "band_idx",
+                "band_hash",
+                F.col("doc_id").alias("id_b"),
+                F.col("group_size").alias("gsz"),
+            ),
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
+            "gsz",
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("band_hits"),
+            F.min("gsz").alias("min_gsz"),
+        )
+        .filter(
+            (F.col("band_hits") >= config.lsh_min_band_hits)
+            | (F.col("min_gsz") <= config.lsh_noise_group_size)
+        )
+        .select("id_a", "id_b")
     )
 
     pairs = nn.unionByName(no).dropDuplicates(["id_a", "id_b"])

@@ -143,13 +143,21 @@ def candidate_pairs(
     # over salt_buckets reducers instead of serializing in one. Salting
     # only the hot slice keeps shuffle volume ~1x instead of n_salt-x.
     hot_flag = F.col("group_size") > config.salt_hot_threshold
-    cool = postings.filter(~hot_flag).select("band_idx", "band_hash", "doc_id")
-    hot = postings.filter(hot_flag).select("band_idx", "band_hash", "doc_id")
+    cool = postings.filter(~hot_flag).select(
+        "band_idx", "band_hash", "doc_id", "group_size"
+    )
+    hot = postings.filter(hot_flag).select(
+        "band_idx", "band_hash", "doc_id", "group_size"
+    )
 
     cool_pairs = cool.alias("l").join(
-        cool.alias("r"), on=["band_idx", "band_hash"], how="inner"
+        cool.drop("group_size").alias("r"),
+        on=["band_idx", "band_hash"],
+        how="inner",
     ).select(
-        F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        F.col("l.doc_id").alias("id_a"),
+        F.col("r.doc_id").alias("id_b"),
+        F.col("l.group_size").alias("gsz"),
     )
 
     n_salt = config.salt_buckets
@@ -157,6 +165,7 @@ def candidate_pairs(
         "band_idx",
         "band_hash",
         F.col("doc_id").alias("id_a"),
+        "group_size",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("bigint").alias("salt"),
     )
     hot_right = hot.select(
@@ -167,11 +176,28 @@ def candidate_pairs(
     )
     hot_pairs = hot_left.join(
         hot_right, on=["band_idx", "band_hash", "salt"], how="inner"
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.col("group_size").alias("gsz"))
 
+    # Band-hit counting replaces a plain pair dedup (same discipline as the
+    # containment path): a true J >= threshold pair collides in >= 2 of the
+    # 32 bands w.p. 1 - 5e-6, while the r=4 scheme's soft knee floods the
+    # candidate set with single-hit boilerplate collisions (J ~ 0.3-0.5)
+    # that the verify tier then pays ~100x their worth to reject. Pairs
+    # whose quietest colliding group is small stay candidates even with a
+    # single hit -- isolated collisions are cheap to verify and may be
+    # legitimate low-J Levenshtein-tier duplicates.
     pairs = (
         cool_pairs.unionByName(hot_pairs)
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("band_hits"),
+            F.min("gsz").alias("min_gsz"),
+        )
+        .filter(
+            (F.col("band_hits") >= config.lsh_min_band_hits)
+            | (F.col("min_gsz") <= config.lsh_noise_group_size)
+        )
+        .select("id_a", "id_b")
     )
     return CandidateResult(pairs=pairs, band_skew=band_skew)

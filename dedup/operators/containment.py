@@ -171,7 +171,7 @@ def containment_candidates(
     right = postings.select(
         "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("n_grams").alias("nb")
     )
-    pairs = (
+    scored = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -199,9 +199,24 @@ def containment_candidates(
             (F.col("band_hits") >= config.containment_min_band_hits)
             | (F.col("min_gsz") <= config.containment_noise_group_size)
         )
-        .select("id_short", "id_long")
     )
-    return pairs
+    # RANKED PARTNER CAPS (config.containment_max_partners): a doc
+    # colliding with hundreds of partners is shared boilerplate; verifying
+    # every such pair ships the fat gram arrays ~|partners| times. Keep the
+    # strongest-signal partners per short (band-hit rank, deterministic id
+    # tiebreak), then bound the long side at 4x. True containments rank
+    # top (aligned windows hit nearly every band); capped boilerplate
+    # family edges remain reachable transitively through stronger edges.
+    from dedup.operators.grouping import grouped_top_k
+
+    cap = config.containment_max_partners
+    capped = grouped_top_k(
+        scored, ["id_short"], "band_hits", cap, tiebreak_cols=["id_long"]
+    )
+    capped = grouped_top_k(
+        capped, ["id_long"], "band_hits", 4 * cap, tiebreak_cols=["id_short"]
+    )
+    return capped.select("id_short", "id_long")
 
 
 def verify_containment(
