@@ -314,6 +314,47 @@ def bag_l1_col(ccv_a: Column | str, ccv_b: Column | str, bins: int = _CCV_BINS) 
     )
 
 
+_BGV_BINS = 256
+
+
+def byte_bigram_vector_udf(text: Column | str, bins: int = _BGV_BINS) -> Column:
+    """Per-DOC byte-BIGRAM count vector (array<int> of ``bins``): adjacent
+    byte pairs hashed to ``bins`` buckets. One unit indel edit changes at
+    most 3 bigram counts (removes <= 2 at the edit site, adds <= 1 merged),
+    so L1(BG_a, BG_b) <= 3 * d -- an EXACT lower bound on the indel
+    distance that, unlike the unigram bag, SEES ORDER: boilerplate pairs
+    with near-identical byte histograms but different wording differ in
+    bigram counts. Folding to ``bins`` buckets only lowers the L1, so
+    the bound survives hashing. Computed once per doc, never per pair."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _bgv(xs: pd.Series) -> pd.Series:
+        out = []
+        for s in xs.fillna(""):
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < 2:
+                out.append(np.zeros(bins, dtype=np.int32))
+                continue
+            big = (b[:-1].astype(np.uint32) << 8) | b[1:]
+            out.append(np.bincount(big % bins, minlength=bins).astype(np.int32))
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _bgv(c)
+
+
+def bigram_l1_col(bg_a: Column | str, bg_b: Column | str) -> Column:
+    """L1 distance between two byte-bigram count vectors; divide by 3 for
+    the exact indel-distance lower bound (see byte_bigram_vector_udf)."""
+    ca = F.col(bg_a) if isinstance(bg_a, str) else bg_a
+    cb = F.col(bg_b) if isinstance(bg_b, str) else bg_b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 def indel_distance_pairs(
     x: Column | str, y: Column | str, dmax: int | None = None
 ) -> Column:

@@ -142,26 +142,16 @@ def verify_pairs(
     ).localCheckpoint()
     register(p1, tracker)
 
-    # ---- phase 2a: exact Jaccard for every estimate-plausible pair ----
-    # (both the jaccard-tier gate range and the Levenshtein floor range --
-    # the exact value feeds BOTH the >= 0.8 acceptance and the per-pair
-    # gram floor that decides DP admission below).
+    # ---- phase 2a: exact Jaccard for estimate-gate survivors ----------
     ga, gb = _two_sided(
         prepared.select("doc_id", "gram_hashes"), {"gh": "gram_hashes"}
     )
-    est_floor = min(gate, config.lev_est_gate)
     jac = (
-        p1.filter(F.col("est") >= F.lit(est_floor))
+        p1.filter(F.col("est") >= F.lit(gate))
         .join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("jaccard", exact_jaccard_col("gh_a", "gh_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.size("gh_a").alias("g_a"),
-            F.size("gh_b").alias("g_b"),
-        )
+        .select("id_a", "id_b", "jaccard")
     )
     # checkpoint again: both output branches (sketch-verified, lev) read
     # ``scored``; leaving it lazy recomputes the jac join per branch.
@@ -175,65 +165,52 @@ def verify_pairs(
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)
 
     # ---- phase 2b: Levenshtein for pairs both sketches rejected -------
-    # EXACT gram-floor admission (replaces the old noisy estimate-only
-    # gate): ratio > T implies indel distance d < dmax = (1-T/100)(la+lb),
-    # and each unit edit destroys/creates <= k_shingle grams of the SET,
-    # so |A\B| <= k*d and the pair's exact Jaccard obeys
-    #   J >= (max(g_a,g_b) - k*dmax) / (min(g_a,g_b) + k*dmax).
-    # A pair below that floor can NEVER clear the direct ratio threshold
-    # (pure arithmetic, zero recall loss). Pairs failing the direct floor
-    # may still pass via the TOKEN-SORT fallback, whose own floor is the
-    # same bound over token-sorted gram sets -- checked in a second join
-    # against per-doc sorted-gram columns, only for the failures.
-    # Measured on the bench corpus: 427k DP admissions with 0 acceptances
-    # under the old estimate gate -> the DP now runs only on pairs whose
-    # gram sets arithmetically allow acceptance.
-    k = float(config.k_shingle)
+    # DP admission is gated by EXACT byte-bigram lower bounds computed from
+    # NARROW per-doc columns (256-int count vectors -- never the fat gram
+    # arrays, never the texts): one unit indel changes <= 3 bigram counts,
+    # so L1(BG_a, BG_b) > 3 * dmax proves the direct ratio can never clear
+    # the threshold, and the same bound over TOKEN-SORTED text's bigrams
+    # proves it for the token-sort fallback. A pair is admitted only if
+    # EITHER path remains arithmetically possible -- zero recall loss.
+    # Unlike the unigram bag bound (which boilerplate-similar byte
+    # histograms pass wholesale -- measured 427k DP admissions with 0
+    # acceptances), bigrams see ORDER, so reworded boilerplate dies here.
+    from dedup.functions.similarity import (
+        bigram_l1_col,
+        byte_bigram_vector_udf,
+        token_sort_col,
+    )
+
+    ts_text = token_sort_col("norm_text")
+    bgdocs = prepared.select(
+        "doc_id",
+        byte_bigram_vector_udf("norm_text").alias("bg"),
+        byte_bigram_vector_udf(ts_text).alias("bgs"),
+        F.length(ts_text).alias("ts_len"),
+    )
+    ba, bb = _two_sided(bgdocs, {"bg": "bg", "bgs": "bgs", "tslen": "ts_len"})
     dmax = (F.col("len_a") + F.col("len_b")).cast("double") * F.lit(
         1.0 - thr / 100.0
     )
-    direct_floor = (
-        F.greatest("g_a", "g_b").cast("double") - F.lit(k) * dmax
-    ) / (F.least("g_a", "g_b").cast("double") + F.lit(k) * dmax)
-
-    base_need = scored.filter(
-        ~jac_ok
-        & ~sim_ok
-        & del_ok
-        & F.col("bag_ok")
-        & (F.col("est") >= F.lit(config.lev_est_gate))
-    )
-    direct_need = base_need.filter(F.col("jaccard") >= direct_floor).select(
-        "id_a", "id_b", "jaccard", "hamming"
-    )
-
-    # token-sort fallback admission: per-doc sorted-gram sets (native
-    # column chain, once per doc -- never per pair)
-    from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
-    from dedup.functions.similarity import token_sort_col
-
-    ts_text = token_sort_col("norm_text")
-    tsdocs = prepared.select(
-        "doc_id",
-        F.length(ts_text).alias("ts_len"),
-        gram_hashes_col(char_ngrams_col(ts_text, config.k_shingle)).alias("tsg"),
-    )
-    ta_s, tb_s = _two_sided(tsdocs, {"tsg": "tsg", "tslen": "ts_len"})
     dmax_s = (F.col("tslen_a") + F.col("tslen_b")).cast("double") * F.lit(
         1.0 - thr / 100.0
     )
-    ts_floor = (
-        F.greatest(F.size("tsg_a"), F.size("tsg_b")).cast("double")
-        - F.lit(k) * dmax_s
-    ) / (F.least(F.size("tsg_a"), F.size("tsg_b")).cast("double") + F.lit(k) * dmax_s)
-    fallback_need = (
-        base_need.filter(F.col("jaccard") < direct_floor)
-        .join(ta_s, "id_a")
-        .join(tb_s, "id_b")
-        .filter(exact_jaccard_col("tsg_a", "tsg_b") >= ts_floor)
+    need_lev = (
+        scored.filter(
+            ~jac_ok
+            & ~sim_ok
+            & del_ok
+            & F.col("bag_ok")
+            & (F.col("est") >= F.lit(config.lev_est_gate))
+        )
+        .join(ba, "id_a")
+        .join(bb, "id_b")
+        .filter(
+            (bigram_l1_col("bg_a", "bg_b") <= F.lit(3.0) * dmax)
+            | (bigram_l1_col("bgs_a", "bgs_b") <= F.lit(3.0) * dmax_s)
+        )
         .select("id_a", "id_b", "jaccard", "hamming")
     )
-    need_lev = direct_need.unionByName(fallback_need)
     ta, tb = _two_sided(prepared.select("doc_id", "norm_text"), {"text": "norm_text"})
     lev = (
         need_lev.join(ta, "id_a")

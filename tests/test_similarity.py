@@ -215,3 +215,31 @@ def test_bag_gate_keeps_turn_segmentation_duplicates(spark):
     ).first()
     assert row["l1"] == 0  # non-ws content identical
     assert row["l1"] <= row["total"] * (1 - 94 / 100.0)  # bag_ok: kept
+
+
+def test_bigram_l1_lower_bounds_indel_distance():
+    """The byte-bigram L1 must lower-bound 3x the indel distance for both
+    ratio paths (direct on raw text; token-sorted text for the fallback) --
+    the DP admission gate in verify.py is only sound if this holds."""
+    import random
+
+    import numpy as np
+
+    from dedup.functions.similarity import indel_distance_str, token_sort_py
+
+    def bgv(s, bins=256):
+        b = np.frombuffer(s.encode(), dtype=np.uint8)
+        if len(b) < 2:
+            return np.zeros(bins, dtype=np.int64)
+        big = (b[:-1].astype(np.uint32) << 8) | b[1:]
+        return np.bincount(big % bins, minlength=bins)
+
+    rng = random.Random(31)
+    for _ in range(400):
+        x = "".join(rng.choice("abcd \n") for _ in range(rng.randint(0, 50)))
+        y = "".join(rng.choice("abcd \n") for _ in range(rng.randint(0, 50)))
+        l1 = int(np.abs(bgv(x) - bgv(y)).sum())
+        assert l1 <= 3 * indel_distance_str(x, y), (x, y)
+        xs, ys = token_sort_py(x), token_sort_py(y)
+        l1s = int(np.abs(bgv(xs) - bgv(ys)).sum())
+        assert l1s <= 3 * indel_distance_str(xs, ys), (xs, ys)
