@@ -44,7 +44,10 @@ def main():
         shuffle_partitions=max(int(cpus) * 2, 8),
         conv_partitions=max(int(cpus) * 2, 8),
     )
-    spark = get_spark("bench", master=f"local[{cpus}]", config=config)
+    # SPARK_GRAFT_MASTER overrides (e.g. local-cluster[8,4,12288] -- real
+    # per-executor JVMs, the honest scaling-measurement topology)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = get_spark("bench", master=master, config=config)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}

@@ -105,14 +105,18 @@ def _to_field(hashes: np.ndarray) -> np.ndarray:
 
 
 # bound on total shingle count per vectorized MinHash chunk. The kernel
-# streams ONE permutation's G-vector at a time (~8 bytes/gram + mulmod
-# temporaries), so the chunk working set is ~10 * 8 * G bytes: 512k grams
-# ~= 40 MB, comfortably cache/bandwidth friendly. Materializing the full
-# (num_perm, G) matrix instead (128 * G * 8B = 4 GB at a 4M-gram Arrow
-# batch) made the prepare stage MEMORY-BANDWIDTH-bound: wall time barely
-# moved from local[8] to local[32] (155s -> 141s measured) because every
-# core contended for the same DRAM channel.
-_MINHASH_CHUNK_GRAMS = 512_000
+# makes num_perm passes over the chunk's gram vector, so the chunk MUST be
+# CACHE-RESIDENT or all 128 passes stream from DRAM: x slice + 3 mulmod
+# scratch vectors at 24k grams ~= 0.8 MB (L2-resident), vs the earlier
+# 512k-gram chunk (~16 MB) that hit the DRAM ceiling -- measured
+# standalone at 32 procs: 512k chunk = 45M gram-perms/s/core single, 11M
+# under contention (0.41 of ideal aggregate); 24k chunk = 101M single
+# (2.2x faster -- the passes come from cache) and 84M under contention
+# (0.94 per-core efficiency). Chunking overhead (numpy dispatch per
+# chunk x perm) is ~10us/call, negligible against the passes. This is the
+# difference between a prepare stage that stops scaling at 8 threads and
+# one that scales to the core count.
+_MINHASH_CHUNK_GRAMS = 24_000
 
 
 def minhash_signature_udf(
@@ -208,11 +212,11 @@ def band_hashes_udf(
 
 
 # bound on total shingle count processed per vectorized simhash chunk: the
-# bit matrix is G x 64 bytes, so 256k grams ~= 16 MB peak per worker -- big
-# enough to amortize numpy dispatch, small enough that 32 concurrent
-# Python workers do not add GBs of transient allocations (measured: a 4M
-# bound regressed the prepare stage 2x via allocation/GC pressure).
-_SIMHASH_CHUNK_GRAMS = 256_000
+# bit matrix is G x 64 bytes, so 32k grams ~= 2 MB peak per worker --
+# cache-resident for the unpackbits -> reduceat passes (same DRAM-ceiling
+# reasoning as _MINHASH_CHUNK_GRAMS; the earlier 256k bound put a 16 MB
+# matrix on every worker and 32 workers on one memory controller).
+_SIMHASH_CHUNK_GRAMS = 32_000
 
 
 def simhash_udf(

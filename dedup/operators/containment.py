@@ -257,13 +257,13 @@ def verify_containment(
         cands.join(
             g.select(
                 F.col("doc_id").alias("id_short"), F.col("gram_hashes").alias("gh_s")
-            ),
+            ).hint("shuffle_hash"),
             "id_short",
         )
         .join(
             g.select(
                 F.col("doc_id").alias("id_long"), F.col("gram_hashes").alias("gh_l")
-            ),
+            ).hint("shuffle_hash"),
             "id_long",
         )
         .withColumn(
@@ -289,13 +289,13 @@ def verify_containment(
         .join(
             t.select(
                 F.col("doc_id").alias("id_short"), F.col("norm_text").alias("text_s")
-            ),
+            ).hint("shuffle_hash"),
             "id_short",
         )
         .join(
             t.select(
                 F.col("doc_id").alias("id_long"), F.col("norm_text").alias("text_l")
-            ),
+            ).hint("shuffle_hash"),
             "id_long",
         )
         .repartition(config.lev_partitions)

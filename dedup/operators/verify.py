@@ -98,9 +98,13 @@ def verify_pairs(
         light, {"mh": "minhash", "sim": "simhash", "len": "n_chars", "ccv": "ccv"}
     )
     total_len = F.col("len_a") + F.col("len_b")
+    # shuffle_hash-pinned like the phase-2 joins: the per-doc light side is
+    # ~1.3KB/doc (tens of MB at bench scale, GBs at corpus scale) -- AQE
+    # strategy flips on its estimated size were the last source of bimodal
+    # stage times at larger corpora.
     p1 = (
-        pairs.join(la, "id_a")
-        .join(lb, "id_b")
+        pairs.join(la.hint("shuffle_hash"), "id_a")
+        .join(lb.hint("shuffle_hash"), "id_b")
         .withColumn("est", minhash_estimate_col("mh_a", "mh_b"))
         .withColumn("hamming", hamming_col("sim_a", "sim_b"))
         .withColumn(
@@ -146,10 +150,15 @@ def verify_pairs(
     ga, gb = _two_sided(
         prepared.select("doc_id", "gram_hashes"), {"gh": "gram_hashes"}
     )
+    # shuffle_hash hints: the per-doc gram-array side is a few hundred MB
+    # at bench scale -- AQE flip-flopped between broadcast and sort-merge
+    # on its (mis)estimated size run-to-run (measured 34s vs 178s for the
+    # identical stage); a shuffled hash join with the doc side as build is
+    # the right plan at every scale and pins it.
     jac = (
         p1.filter(F.col("est") >= F.lit(gate))
-        .join(ga, "id_a")
-        .join(gb, "id_b")
+        .join(ga.hint("shuffle_hash"), "id_a")
+        .join(gb.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", exact_jaccard_col("gh_a", "gh_b"))
         .select("id_a", "id_b", "jaccard")
     )
@@ -203,8 +212,8 @@ def verify_pairs(
             & F.col("bag_ok")
             & (F.col("est") >= F.lit(config.lev_est_gate))
         )
-        .join(ba, "id_a")
-        .join(bb, "id_b")
+        .join(ba.hint("shuffle_hash"), "id_a")
+        .join(bb.hint("shuffle_hash"), "id_b")
         .filter(
             (bigram_l1_col("bg_a", "bg_b") <= F.lit(3.0) * dmax)
             | (bigram_l1_col("bgs_a", "bgs_b") <= F.lit(3.0) * dmax_s)

@@ -33,6 +33,21 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
+    if master.startswith("local-cluster"):
+        # real multi-executor JVMs forked locally -- the honest sandbox
+        # proxy for the north rule's "N vs 4N executors" criterion: each
+        # executor gets its OWN heap (so GC pressure partitions like a real
+        # cluster, instead of 32 task threads thrashing one shared heap)
+        # and its own Python worker pool. Requires SPARK_HOME for the
+        # worker launch scripts and PYTHONPATH so executor-side Python
+        # workers can import this package.
+        import pyspark as _pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(_pyspark.__file__))
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prev = os.environ.get("PYTHONPATH", "")
+        if repo_root not in prev.split(":"):
+            os.environ["PYTHONPATH"] = f"{repo_root}:{prev}" if prev else repo_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,6 +64,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("local-cluster"):
+        mem_mb = master.split(",")[-1].rstrip("]").strip()
+        builder = (
+            builder.config("spark.executor.memory", f"{mem_mb}m")
+            .config(
+                "spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", "")
+            )
+        )
     if iceberg_jar_available() and warehouse:
         # Primary path on a real cluster: a named Iceberg catalog.
         builder = (

@@ -35,13 +35,27 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, sf_dir: str, convs: int | None) -> dict:
+# per-executor resources for cluster-mode topologies (the honest proxy):
+# N executors x EXEC_CORES cores, one JVM + python-worker pool each, same
+# per-executor memory at both cluster sizes -- scaling the cluster means
+# MORE executors, not bigger ones.
+EXEC_CORES = 4
+EXEC_MEM_MB = 10240
+
+
+def run_once(cpus: int, sf_dir: str, convs: int | None, mode: str) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ONLY_PIPELINE="1",
     )
+    if mode == "cluster":
+        n_exec = cpus // EXEC_CORES
+        env["SPARK_GRAFT_MASTER"] = (
+            f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+        )
+        env["SPARK_DRIVER_MEMORY"] = "8g"
     if convs:
         env["SPARK_GRAFT_BENCH_CONVS"] = str(convs)
     out = subprocess.run(
@@ -64,15 +78,22 @@ def main():
         os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000")
     )
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # "cluster" = local-cluster topologies (N vs 4N separate executor JVMs,
+    # per-executor heaps/python pools -- mirrors the north rule's criterion
+    # and removes the shared-heap GC artifact of thread-mode local[N]);
+    # "threads" = classic local[N] vs local[4N].
+    mode = sys.argv[5] if len(sys.argv) > 5 else os.environ.get(
+        "SPARK_GRAFT_SCALING_MODE", "threads"
+    )
     n_big = n_small * 4
 
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
     for i in range(repeats):
         for n in (n_small, n_big):  # interleave to decorrelate host drift
-            r = run_once(n, sf_dir, convs)
+            r = run_once(n, sf_dir, convs, mode)
             runs[n].append(r)
             print(
-                f"run {i}: local[{n}] pipeline "
+                f"run {i}: {mode}[{n}] pipeline "
                 f"{r['queries']['pipeline_dedup']}s stages="
                 f"{r['extras'].get('pipeline_stages')}",
                 file=sys.stderr,
@@ -114,6 +135,13 @@ def main():
     sum_big = sum(v["secs_big"] for v in stage_table.values())
 
     result = {
+        "mode": mode,
+        "topology_small": f"local-cluster[{n_small // EXEC_CORES},{EXEC_CORES},{EXEC_MEM_MB}]"
+        if mode == "cluster"
+        else f"local[{n_small}]",
+        "topology_big": f"local-cluster[{n_big // EXEC_CORES},{EXEC_CORES},{EXEC_MEM_MB}]"
+        if mode == "cluster"
+        else f"local[{n_big}]",
         "n_small": n_small,
         "n_big": n_big,
         "convs": convs,
