@@ -395,11 +395,58 @@ def q_containment_pairs(spark, sf_dir):
     corpus = d.select("doc_id", "norm_text").unionByName(shorts)
     prep = prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
     verified = verify_containment(
-        containment_candidates(prep, CONT_CFG), prep, CONT_CFG
+        containment_candidates(prep, CONT_CFG).pairs, prep, CONT_CFG
     )
     planted = eligible.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + F.lit(2_000_000)).alias("id_b"),
+    )
+    return verified.join(planted, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+def q_containment_mid(spark, sf_dir):
+    """MID-document containment gate (the hard case VERDICT r3 flagged:
+    windows over the DISTINCT gram sequence progressively misalign for
+    spans embedded past the start of a long doc; positional windows fix
+    it). Derived corpus: for each run of three consecutive doc_ids
+    (a, b, c), plant a long doc = a + ' ' + b + ' ' + c -- the middle
+    component b sits at char offset len(a)+1, a doc-dependent, generally
+    stride-UNALIGNED position. The (b, long) pair must verify with gram
+    containment exactly 1.0 (b's text is a verbatim substring, so its
+    distinct-gram set is a subset of the long doc's)."""
+    from dedup.operators.containment import (
+        containment_candidates,
+        verify_containment,
+    )
+
+    d = _norm_docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("aid"), F.col("norm_text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("bid"), F.col("norm_text").alias("tb"))
+    c = d.select(F.col("doc_id").alias("cid"), F.col("norm_text").alias("tc"))
+    triples = (
+        a.join(b, F.col("bid") == F.col("aid") + 1)
+        .join(c, F.col("cid") == F.col("aid") + 2)
+        .filter(
+            (F.length("tb") >= 150)
+            # min_grams gate parity: the pipeline skips shorts with < 64
+            # distinct grams, so the planted set excludes them too
+            & (F.size(char_ngrams_col(F.col("tb"), 3)) >= CONT_CFG.containment_min_grams)
+        )
+    )
+    longs = triples.select(
+        (F.col("aid") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat_ws(" ", "ta", "tb", "tc").alias("norm_text"),
+    )
+    corpus = d.select("doc_id", "norm_text").unionByName(longs)
+    prep = prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    verified = verify_containment(
+        containment_candidates(prep, CONT_CFG).pairs, prep, CONT_CFG
+    )
+    planted = triples.select(
+        F.col("bid").alias("id_a"),
+        (F.col("aid") + F.lit(3_000_000)).alias("id_b"),
     )
     return verified.join(planted, ["id_a", "id_b"], "inner").select(
         "id_a", "id_b", F.round("containment", 6).alias("containment")
@@ -468,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_verify": _draining(q_lev_verify),
         "srp_embedding_near_dups": _draining(q_srp_near_dups),
         "containment_pairs": _draining(q_containment_pairs),
+        "containment_mid": _draining(q_containment_mid),
     }
 
 
@@ -694,6 +742,20 @@ def oracle_sql() -> dict[str, str]:
             from pfx
             where len(list_distinct([substring(p, i, 3)
                                      for i in range(1, length(p) - 1)])) >= 64
+        """,
+        "containment_mid": f"""
+            with {_NORM_CTE},
+            t as (
+              select a.doc_id as aid, b.doc_id as bid, b.norm_text as bt
+              from norm a
+              join norm b on b.doc_id = a.doc_id + 1
+              join norm c on c.doc_id = a.doc_id + 2
+              where length(b.norm_text) >= 150
+            )
+            select bid as id_a, aid + 3000000 as id_b, 1.0 as containment
+            from t
+            where len(list_distinct([substring(bt, i, 3)
+                                     for i in range(1, length(bt) - 1)])) >= 64
         """,
         "quality_lang": """
             with w as (

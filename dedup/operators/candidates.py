@@ -18,16 +18,18 @@ key. Three defenses, in order:
      silent truncation). A real near-dup pair lost here still meets in any
      of the other b-1 bands, so recall loss is (fraction of oversized
      bands)^b -- measured, not assumed;
-  3. within surviving groups the join is salted: the build side is split
-     into ``salt_buckets`` sub-keys so one hot band spreads over several
-     tasks (AQE skew-join then handles residual partition skew).
+  3. surviving groups split at ``salt_hot_threshold``: cool groups fan out
+     pairs LOCALLY from their collected id list (no join at all); hot
+     groups take a salted self-join -- the build side is split into
+     ``salt_buckets`` sub-keys so one hot band spreads over several tasks
+     (AQE skew-join then handles residual partition skew).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
@@ -85,6 +87,21 @@ class CandidateResult:
     band_skew: DataFrame      # (band_idx, band_hash, group_size) for dropped groups
 
 
+def pair_structs(ids: Column) -> Column:
+    """All position pairs i < j of a sorted array as struct(id_a, id_b) --
+    the LOCAL fan-out that replaces a band-key self-join for bounded
+    groups. Stays entirely inside codegen (transform/slice/flatten)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def candidate_pairs(
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
@@ -92,83 +109,74 @@ def candidate_pairs(
 ) -> CandidateResult:
     """prepared docs (doc_id, minhash) -> candidate (id_a < id_b) pairs.
 
-    Plan shape: posexplode(band_hashes) -> (band_idx, band_hash, doc_id)
-    postings -> group-size accounting -> salted self-join on the band key
-    -> canonical pair dedup. The self-join is an equi hash join on
-    (band_idx, band_hash[, salt]); AQE may broadcast the smaller side at
-    low SF and splits skewed partitions at high SF.
+    Plan shape: posexplode(band_hashes) -> ONE groupBy on the band key that
+    folds group-size accounting AND posting-list assembly into a single
+    shuffle (collect_list) -> local pair fan-out for cool groups / salted
+    self-join for hot groups -> band-hit-counted pair dedup.
+
+    The r3 plan ran sizes-agg + bands-join + band-key self-join -- three
+    byte-small shuffles plus a persist of every posting -- and its fixed
+    overhead dominated at any parallelism (measured 0.495 scaling
+    efficiency, VERDICT r3). Folding into collect_list leaves exactly two
+    shuffles (band groupBy, pair groupBy); per-group fan-out is bounded by
+    ``max_band_group`` so a group row can never straggle.
 
     ``tracker``: persisted intermediates are appended here so long-lived
     drivers (pipeline stages, streaming micro-batches) can unpersist them
-    once the pairs have materialized -- otherwise cached band postings
+    once the pairs have materialized -- otherwise cached band groups
     accumulate across batches."""
-    # The band postings feed MANY branches (size accounting, skew ledger,
-    # and four join sides) -- cache them so the sketch-UDF explode runs
-    # once, not once per branch. On a cluster this is the natural stage to
-    # checkpoint instead (the pipeline checkpoints its parent 'prepared').
     bands = prepared.select(
         "doc_id",
         F.posexplode(band_hashes_udf("minhash", config)).alias(
             "band_idx", "band_hash"
         ),
-    ).persist()
-    register(bands, tracker)
-
-    sizes = bands.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("group_size")
     )
-    band_skew = sizes.filter(F.col("group_size") > config.max_band_group)
-
-    # postings surviving the boilerplate cap; singleton groups can never
-    # produce a pair -- drop them before the join, they are the vast
-    # majority of postings.
-    postings = (
-        bands.join(
-            sizes.filter(
-                (F.col("group_size") > 1)
-                & (F.col("group_size") <= config.max_band_group)
-            ),
-            on=["band_idx", "band_hash"],
-            how="inner",
-        )
-        .select("band_idx", "band_hash", "doc_id", "group_size")
+    # Single shuffle: collision groups as sorted id lists. Singleton groups
+    # (the vast majority of band keys) can never pair and are dropped
+    # before the persist, so the cache holds only collision groups -- far
+    # smaller than the r3 all-postings cache.
+    groups = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .withColumn("gsz", F.size("ids"))
+        .filter(F.col("gsz") > 1)
         .persist()
     )
-    register(postings, tracker)
+    register(groups, tracker)
 
-    # Split skew-join: groups under the hotness threshold take a plain
-    # band-key equi-join; hot groups (the boilerplate tail) take a SALTED
-    # join -- probe side gets a deterministic salt bucket from its doc_id,
-    # build side explodes over all buckets, so one hot band key spreads
-    # over salt_buckets reducers instead of serializing in one. Salting
-    # only the hot slice keeps shuffle volume ~1x instead of n_salt-x.
-    hot_flag = F.col("group_size") > config.salt_hot_threshold
-    cool = postings.filter(~hot_flag).select(
-        "band_idx", "band_hash", "doc_id", "group_size"
+    band_skew = groups.filter(F.col("gsz") > config.max_band_group).select(
+        "band_idx", "band_hash", F.col("gsz").alias("group_size")
     )
-    hot = postings.filter(hot_flag).select(
-        "band_idx", "band_hash", "doc_id", "group_size"
-    )
+    ok = groups.filter(F.col("gsz") <= config.max_band_group)
 
-    cool_pairs = cool.alias("l").join(
-        cool.drop("group_size").alias("r"),
-        on=["band_idx", "band_hash"],
-        how="inner",
-    ).select(
-        F.col("l.doc_id").alias("id_a"),
-        F.col("r.doc_id").alias("id_b"),
-        F.col("l.group_size").alias("gsz"),
-    )
+    # Cool groups (the bulk): pair fan-out is local array math on the
+    # sorted id list -- no join, no shuffle, ids already ascending so
+    # id_a < id_b holds by construction.
+    cool = ok.filter(F.col("gsz") <= config.salt_hot_threshold)
+    cool_pairs = cool.select(
+        "gsz", F.explode(pair_structs(F.col("ids"))).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "gsz")
 
+    # Hot groups (the boilerplate tail) keep the SALTED self-join (the
+    # north_rule skew defense): at cluster scale ``max_band_group`` may be
+    # raised to 10^4+, where a single group row's local fan-out (gsz^2/2
+    # pairs in ONE task) would straggle -- the salted join spreads one hot
+    # band key over salt_buckets reducers instead. Probe side gets a
+    # deterministic salt bucket from its doc_id, build side explodes over
+    # all buckets, so shuffle volume stays ~1x for the cool slice.
+    hot = ok.filter(F.col("gsz") > config.salt_hot_threshold)
+    hot_post = hot.select(
+        "band_idx", "band_hash", "gsz", F.explode("ids").alias("doc_id")
+    )
     n_salt = config.salt_buckets
-    hot_left = hot.select(
+    hot_left = hot_post.select(
         "band_idx",
         "band_hash",
         F.col("doc_id").alias("id_a"),
-        "group_size",
+        "gsz",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("bigint").alias("salt"),
     )
-    hot_right = hot.select(
+    hot_right = hot_post.select(
         "band_idx",
         "band_hash",
         F.col("doc_id").alias("id_b"),
@@ -176,7 +184,7 @@ def candidate_pairs(
     )
     hot_pairs = hot_left.join(
         hot_right, on=["band_idx", "band_hash", "salt"], how="inner"
-    ).select("id_a", "id_b", F.col("group_size").alias("gsz"))
+    ).select("id_a", "id_b", "gsz")
 
     # Band-hit counting replaces a plain pair dedup (same discipline as the
     # containment path): a true J >= threshold pair collides in >= 2 of the
@@ -188,7 +196,7 @@ def candidate_pairs(
     # legitimate low-J Levenshtein-tier duplicates.
     pairs = (
         cool_pairs.unionByName(hot_pairs)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))  # hot join emits unordered pairs
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("band_hits"),

@@ -26,14 +26,18 @@ tier is part of the transcript-scale extension (SURVEY.md par.2.9 tier 3+).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
+from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
 from dedup.functions.sketch import band_hashes_udf, minhash_signature_udf
+from dedup.operators.candidates import pair_structs
 from dedup.tracking import register
 
 
@@ -127,26 +131,50 @@ def _window_slices(gram_hashes: Column, window: int, stride: int) -> Column:
     )
 
 
+@dataclass
+class ContainmentCandidates:
+    pairs: DataFrame            # (id_short, id_long)
+    window_band_skew: DataFrame  # (band_idx, band_hash, group_size) dropped groups
+    capped_pairs: DataFrame     # (id_short, id_long, band_hits, reason) dropped by caps
+
+
 def containment_candidates(
     prepared: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
     tracker: list[DataFrame] | None = None,
-) -> DataFrame:
-    """(id_short, id_long) candidates sharing a long contiguous gram span.
+) -> ContainmentCandidates:
+    """(id_short, id_long) candidates sharing a long contiguous gram span,
+    plus two accounting ledgers (no silent truncation): oversized window
+    band groups and pairs dropped by the ranked partner caps.
 
     EVERY doc is windowed uniformly (window W grams, stride W/2; docs
     shorter than W emit one whole-doc window), each window gets its own
-    MinHash + band hashes, and windows meet in the same band equi-join as
-    the ordinary LSH path. Geometry: a shared span of >= W grams guarantees
-    some window pair aligned within W/4, i.e. set Jaccard >= ~0.6 -- well
-    above the band-collision knee at this (b, r). Hot window bands (shared
-    boilerplate spans) are capped by max_band_group exactly like the
-    whole-doc path."""
+    MinHash + band hashes, and windows meet on band keys exactly like the
+    ordinary LSH path. Windows slice the POSITIONAL gram sequence
+    (duplicates preserved): element i is the gram at char i, so a span
+    shared at ANY offset yields window pairs aligned within stride/2
+    regardless of what grams the long doc used earlier. (The r3 plan
+    sliced the DISTINCT first-occurrence sequence, which drifts for
+    mid-document embeddings -- VERDICT r3 missing #1.) Geometry: a shared
+    span of >= W grams guarantees some window pair aligned within W/4,
+    i.e. set Jaccard >= ~0.6 -- well above the band-collision knee at this
+    (b, r). MinHash is set-semantics, so in-window duplicate grams do not
+    perturb signatures.
+
+    Plan shape mirrors candidate_pairs: ONE groupBy on the band key folds
+    size accounting + member-list assembly (collect_list of (id, n_grams)
+    structs); pair fan-out is local array math bounded by max_band_group
+    (window groups need no salted path: the cap stays small because an
+    oversized WINDOW group is per-span boilerplate that the whole-doc tier
+    already links transitively)."""
     w, s = config.containment_window, config.containment_stride
+    pos_hashes = gram_hashes_col(
+        char_ngrams_positional_col("norm_text", config.k_shingle)
+    )
     windows = prepared.select(
         F.col("doc_id").alias("id"),
         F.size("gram_hashes").alias("n_grams"),
-        F.posexplode(_window_slices(F.col("gram_hashes"), w, s)).alias(
+        F.posexplode(_window_slices(pos_hashes, w, s)).alias(
             "win_idx", "win_hashes"
         ),
     )
@@ -156,25 +184,38 @@ def containment_candidates(
         F.posexplode(
             band_hashes_udf(minhash_signature_udf("win_hashes", config), config)
         ).alias("band_idx", "band_hash"),
-    ).persist()
-    register(bands, tracker)
-    sizes = bands.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("gsz")
     )
-    postings = bands.join(
-        sizes.filter((F.col("gsz") > 1) & (F.col("gsz") <= config.max_band_group)),
-        ["band_idx", "band_hash"],
+    # single shuffle: collision groups as sorted (id, n_grams) member lists
+    # (a doc may appear twice in one group -- two of its windows colliding
+    # on the same band key -- and the fan-out preserves that multiplicity
+    # in band_hits, exactly as the r3 self-join did)
+    groups = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "n_grams"))).alias("mem")
+        )
+        .withColumn("gsz", F.size("mem"))
+        .filter(F.col("gsz") > 1)
+        .persist()
     )
-    left = postings.select(
-        "band_idx", "band_hash", "gsz", F.col("id").alias("id_a"), F.col("n_grams").alias("na")
+    register(groups, tracker)
+    window_band_skew = groups.filter(F.col("gsz") > config.max_band_group).select(
+        "band_idx", "band_hash", F.col("gsz").alias("group_size")
     )
-    right = postings.select(
-        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("n_grams").alias("nb")
+    ok = groups.filter(F.col("gsz") <= config.max_band_group)
+    raw = (
+        ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
+        .select(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_a.n_grams").alias("na"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_b.n_grams").alias("nb"),
+            "gsz",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))  # drop same-doc window pairs
     )
     scored = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        raw.select(
             F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
             .otherwise(F.col("id_b"))
             .alias("id_short"),
@@ -199,7 +240,10 @@ def containment_candidates(
             (F.col("band_hits") >= config.containment_min_band_hits)
             | (F.col("min_gsz") <= config.containment_noise_group_size)
         )
+        .select("id_short", "id_long", "band_hits")
+        .persist()
     )
+    register(scored, tracker)
     # RANKED PARTNER CAPS (config.containment_max_partners): a doc
     # colliding with hundreds of partners is shared boilerplate; verifying
     # every such pair ships the fat gram arrays ~|partners| times. Keep the
@@ -207,16 +251,30 @@ def containment_candidates(
     # tiebreak), then bound the long side at 4x. True containments rank
     # top (aligned windows hit nearly every band); capped boilerplate
     # family edges remain reachable transitively through stronger edges.
-    from dedup.operators.grouping import grouped_top_k
-
+    # Every dropped pair lands in the capped_pairs LEDGER -- same "no
+    # silent truncation" discipline as the band-skew tables.
     cap = config.containment_max_partners
-    capped = grouped_top_k(
-        scored, ["id_short"], "band_hits", cap, tiebreak_cols=["id_long"]
+    w_short = Window.partitionBy("id_short").orderBy(
+        F.col("band_hits").desc(), F.col("id_long").asc()
     )
-    capped = grouped_top_k(
-        capped, ["id_long"], "band_hits", 4 * cap, tiebreak_cols=["id_short"]
+    s1 = scored.withColumn("__r", F.row_number().over(w_short))
+    drop_short = s1.filter(F.col("__r") > cap).select(
+        "id_short", "id_long", "band_hits", F.lit("short_cap").alias("reason")
     )
-    return capped.select("id_short", "id_long")
+    kept1 = s1.filter(F.col("__r") <= cap).drop("__r")
+    w_long = Window.partitionBy("id_long").orderBy(
+        F.col("band_hits").desc(), F.col("id_short").asc()
+    )
+    s2 = kept1.withColumn("__r", F.row_number().over(w_long))
+    drop_long = s2.filter(F.col("__r") > 4 * cap).select(
+        "id_short", "id_long", "band_hits", F.lit("long_cap").alias("reason")
+    )
+    kept = s2.filter(F.col("__r") <= 4 * cap)
+    return ContainmentCandidates(
+        pairs=kept.select("id_short", "id_long"),
+        window_band_skew=window_band_skew,
+        capped_pairs=drop_short.unionByName(drop_long),
+    )
 
 
 def verify_containment(

@@ -36,6 +36,8 @@ STAGES = [
     "candidate_pairs",
     "band_skew",
     "verified_pairs",
+    "window_band_skew",
+    "containment_capped",
     "containment_pairs",
     "clusters",
 ]
@@ -138,15 +140,20 @@ def run_pipeline(
             verify_containment,
         )
 
-        containment, r = cat.write_or_resume(
-            "containment_pairs",
-            lambda: verify_containment(
-                containment_candidates(reps, config, tracker=tracker),
-                reps,
-                config,
-                tracker=tracker,
-            ),
-        )
+        def _containment():
+            cres = containment_candidates(reps, config, tracker=tracker)
+            # accounting ledgers (no silent truncation): oversized window
+            # band groups + pairs dropped by the ranked partner caps --
+            # same commit discipline as band_skew.
+            cat.write(
+                "window_band_skew", cres.window_band_skew, stage="containment_pairs"
+            )
+            cat.write(
+                "containment_capped", cres.capped_pairs, stage="containment_pairs"
+            )
+            return verify_containment(cres.pairs, reps, config, tracker=tracker)
+
+        containment, r = cat.write_or_resume("containment_pairs", _containment)
         report.stages.append(r)
         drain_tracker()
 

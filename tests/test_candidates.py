@@ -101,7 +101,7 @@ def test_tracker_releases_persisted_band_postings(spark, config):
     tracker = []
     res = candidate_pairs(prep, config, tracker=tracker)
     res.pairs.count()
-    assert len(tracker) == 2  # bands + postings
+    assert len(tracker) == 1  # the collision-group cache (singletons pre-dropped)
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in tracker)
     for df in tracker:
         df.unpersist(blocking=True)
