@@ -74,6 +74,12 @@ def main():
     extras["pipeline_stages"] = {
         s.table: round(s.seconds, 3) for s in report.stages
     }
+    # within-stage attribution: build (operator eager work) / job (the
+    # parallel parquet write) / footer + commit (per-stage fixed costs) --
+    # the evidence for netting the O(stages) floor out of scaling numbers.
+    extras["pipeline_stage_breakdown"] = {
+        s.table: s.breakdown for s in report.stages if s.breakdown
+    }
     shutil.rmtree(wh, ignore_errors=True)
     tdf.unpersist()
     spark.catalog.clearCache()

@@ -24,7 +24,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,6 +39,13 @@ class StageResult:
     partitions: int
     seconds: float
     resumed: bool
+    # wall-time attribution inside the stage: "build" (operator df_fn --
+    # eager work like localCheckpoint phase boundaries), "job" (the parquet
+    # write job itself, i.e. the parallel compute), "footer" (lineage scan
+    # of parquet footers), "commit" (manifest + rename). Everything except
+    # "job" is a per-stage FIXED cost that does not shrink with executors;
+    # the scaling bench reads this to attribute the O(stages) floor.
+    breakdown: dict = field(default_factory=dict)
 
 
 class CheckpointCatalog:
@@ -117,6 +124,7 @@ class CheckpointCatalog:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(staging)
+        t_job = time.time()
 
         # per-partition lineage from the parquet FOOTERS -- row counts are
         # free metadata, no data re-scan. (With a real Iceberg catalog the
@@ -143,6 +151,7 @@ class CheckpointCatalog:
         else:
             partition_rows = {}
         rows = sum(partition_rows.values())
+        t_footer = time.time()
         manifest = {
             "table": name,
             "stage": stage or name,
@@ -158,13 +167,19 @@ class CheckpointCatalog:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(staging, final)  # commit point
+        t_commit = time.time()
         return StageResult(
             table=name,
             path=final,
             rows=rows,
             partitions=len(partition_rows),
-            seconds=time.time() - t0,
+            seconds=t_commit - t0,
             resumed=False,
+            breakdown={
+                "job": round(t_job - t0, 3),
+                "footer": round(t_footer - t_job, 3),
+                "commit": round(t_commit - t_footer, 3),
+            },
         )
 
     def write_or_resume(
@@ -190,8 +205,11 @@ class CheckpointCatalog:
         # time df_fn() too: operators may run eager work (localCheckpoint
         # phase boundaries) while BUILDING the frame, not just writing it
         t0 = time.time()
-        res = self.write(name, df_fn(), stage=stage, **kw)
+        df = df_fn()
+        t_build = time.time()
+        res = self.write(name, df, stage=stage, **kw)
         res.seconds = time.time() - t0
+        res.breakdown = {"build": round(t_build - t0, 3), **res.breakdown}
         return self.table(name), res
 
     def drop(self, name: str) -> None:

@@ -168,13 +168,24 @@ def containment_candidates(
     oversized WINDOW group is per-span boilerplate that the whole-doc tier
     already links transitively)."""
     w, s = config.containment_window, config.containment_stride
-    pos_hashes = gram_hashes_col(
-        char_ngrams_positional_col("norm_text", config.k_shingle)
-    )
-    windows = prepared.select(
+    # MATERIALIZE the positional hash array before slicing: higher-order
+    # functions are interpreted (no codegen subexpression elimination), so
+    # feeding the shingle+xxhash chain directly into _window_slices would
+    # re-evaluate it once PER WINDOW inside the transform lambda (measured
+    # ~12x: 34s vs 3s to enumerate 40k windows at 3.5k docs). The persist
+    # is consumed exactly once and drained by the tracker after the stage.
+    pos_df = prepared.select(
         F.col("doc_id").alias("id"),
         F.size("gram_hashes").alias("n_grams"),
-        F.posexplode(_window_slices(pos_hashes, w, s)).alias(
+        gram_hashes_col(
+            char_ngrams_positional_col("norm_text", config.k_shingle)
+        ).alias("pos_hashes"),
+    ).persist()
+    register(pos_df, tracker)
+    windows = pos_df.select(
+        "id",
+        "n_grams",
+        F.posexplode(_window_slices(F.col("pos_hashes"), w, s)).alias(
             "win_idx", "win_hashes"
         ),
     )

@@ -148,8 +148,17 @@ def run_pipeline(
             cat.write(
                 "window_band_skew", cres.window_band_skew, stage="containment_pairs"
             )
+            # the capped ledger is written AGGREGATED per short doc: the raw
+            # dropped-pair list is O(shorts x pre-cap partners) -- unbounded
+            # for boilerplate families at corpus scale -- while per-short
+            # counts are O(docs) and carry the same accounting guarantee.
             cat.write(
-                "containment_capped", cres.capped_pairs, stage="containment_pairs"
+                "containment_capped",
+                cres.capped_pairs.groupBy("id_short", "reason").agg(
+                    F.count(F.lit(1)).alias("pairs_dropped"),
+                    F.max("band_hits").alias("max_band_hits_dropped"),
+                ),
+                stage="containment_pairs",
             )
             return verify_containment(cres.pairs, reps, config, tracker=tracker)
 
