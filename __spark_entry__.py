@@ -393,7 +393,12 @@ def q_containment_pairs(spark, sf_dir):
         pfx.alias("norm_text"),
     )
     corpus = d.select("doc_id", "norm_text").unionByName(shorts)
-    prep = prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    # feeds pos_df, phase-0 sizes, both phase-1 gram sides and both phase-2
+    # text sides -- uncached, the normalize+shingle+sketch chain recomputes
+    # per branch (measured ~10x)
+    prep = track_cache(
+        prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    )
     verified = verify_containment(
         containment_candidates(prep, CONT_CFG).pairs, prep, CONT_CFG
     )
@@ -440,7 +445,9 @@ def q_containment_mid(spark, sf_dir):
         F.concat_ws(" ", "ta", "tb", "tc").alias("norm_text"),
     )
     corpus = d.select("doc_id", "norm_text").unionByName(longs)
-    prep = prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    prep = track_cache(  # see q_containment_pairs
+        prepare_docs(corpus, "doc_id", "norm_text", CONT_CFG, ascii_fast_path=True)
+    )
     verified = verify_containment(
         containment_candidates(prep, CONT_CFG).pairs, prep, CONT_CFG
     )

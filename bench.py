@@ -57,10 +57,26 @@ def main():
     n_conv = int(
         os.environ.get("SPARK_GRAFT_BENCH_CONVS", max(int(20000 * sf), 200))
     )
-    corpus = make_corpus(n_conversations=n_conv, seed=42)
-    n_turns = len(corpus.transcripts)
-    tdf = spark.createDataFrame(corpus.transcripts).cache()
-    tdf.count()
+    # Optional corpus cache: make_corpus is single-threaded driver Python
+    # (~3-5 min at 24k+ conversations), pure overhead for repeated scaling
+    # runs on the identical deterministic corpus. The cache is keyed by
+    # (convs, seed) and read back as parquet; pipeline timing starts after
+    # the input is cached either way.
+    corpus_cache = os.environ.get("SPARK_GRAFT_CORPUS_CACHE")
+    if corpus_cache:
+        path = os.path.join(corpus_cache, f"transcripts_c{n_conv}_s42")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            corpus = make_corpus(n_conversations=n_conv, seed=42)
+            spark.createDataFrame(corpus.transcripts).repartition(
+                config.conv_partitions
+            ).write.mode("overwrite").parquet(path)
+        tdf = spark.read.parquet(path).cache()
+        n_turns = tdf.count()
+    else:
+        corpus = make_corpus(n_conversations=n_conv, seed=42)
+        n_turns = len(corpus.transcripts)
+        tdf = spark.createDataFrame(corpus.transcripts).cache()
+        tdf.count()
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     t0 = time.time()
     report = run_pipeline(spark, tdf, wh, config)

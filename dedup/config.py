@@ -106,7 +106,22 @@ class DedupConfig:
     # a small (quiet) group is cheap to verify and is kept, so the ~6%
     # worst-alignment recall loss of a blanket >=2 filter only arises inside
     # genuinely noisy boilerplate groups where verification would blow up.
-    containment_noise_group_size: int = 16
+    # 4, not the whole-doc path's 16: positional windows (unlike the r3
+    # distinct-order windows) align shared boilerplate spans across ALL the
+    # docs carrying them, so moderately-sized window groups are mostly
+    # background; a truly quiet collision is a 2-4 member group. Measured
+    # at 42k docs / 25% boilerplate: the 16-exemption passed 32M scored
+    # pairs of which the partner caps kept 2%.
+    containment_noise_group_size: int = 4
+    # Window band groups larger than this are per-span boilerplate, dropped
+    # WITH accounting (window_band_skew). Much lower than the whole-doc
+    # max_band_group=200: a window group of size g appears in ~all 32 bands
+    # AND at several overlapping window positions, so its pair fan-out is
+    # ~64x a whole-doc group's, and a true containment inside a >=33-doc
+    # boilerplate family stays reachable transitively through the family's
+    # stronger in-cap edges (clustering is transitive). Measured at 42k
+    # docs: cap 200 -> 166M raw window pairs, cap 32 -> ~30M.
+    containment_max_band_group: int = 32
     # Ranked partner caps: each short doc keeps at most this many candidate
     # long partners (and each long doc at most 4x as many shorts), ranked
     # by band-hit count (strongest window-collision signal first,

@@ -163,7 +163,8 @@ def containment_candidates(
 
     Plan shape mirrors candidate_pairs: ONE groupBy on the band key folds
     size accounting + member-list assembly (collect_list of (id, n_grams)
-    structs); pair fan-out is local array math bounded by max_band_group
+    structs); pair fan-out is local array math bounded by
+    containment_max_band_group
     (window groups need no salted path: the cap stays small because an
     oversized WINDOW group is per-span boilerplate that the whole-doc tier
     already links transitively)."""
@@ -180,6 +181,11 @@ def containment_candidates(
         gram_hashes_col(
             char_ngrams_positional_col("norm_text", config.k_shingle)
         ).alias("pos_hashes"),
+    ).filter(
+        # a doc under the min-grams gate can never survive verification as
+        # the short side, and (having fewer distinct grams than any gated
+        # short) can never be the long side either -- skip windowing it
+        F.col("n_grams") >= config.containment_min_grams
     ).persist()
     register(pos_df, tracker)
     windows = pos_df.select(
@@ -210,10 +216,12 @@ def containment_candidates(
         .persist()
     )
     register(groups, tracker)
-    window_band_skew = groups.filter(F.col("gsz") > config.max_band_group).select(
+    window_band_skew = groups.filter(
+        F.col("gsz") > config.containment_max_band_group
+    ).select(
         "band_idx", "band_hash", F.col("gsz").alias("group_size")
     )
-    ok = groups.filter(F.col("gsz") <= config.max_band_group)
+    ok = groups.filter(F.col("gsz") <= config.containment_max_band_group)
     raw = (
         ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
         .select(
