@@ -100,6 +100,46 @@ def main():
     tdf.unpersist()
     spark.catalog.clearCache()
 
+    # ---- size-scaling probe: same pipeline at 4x conversations ----
+    # Tracks the throughput-vs-corpus-size trend per round (a slow mode
+    # that only appears at bigger inputs -- like the r3 40k-conv verify
+    # strategy flip -- shows up here a round early instead of only in the
+    # dedicated scaling campaign). turns_per_sec_ratio_4x ~ 1.0 means
+    # size-linear work; << 1 flags a superlinear stage.
+    only_pipeline = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
+    if not only_pipeline and os.environ.get("SPARK_GRAFT_BENCH_4X", "1") == "1":
+        n4 = n_conv * 4
+        if corpus_cache:
+            path4 = os.path.join(corpus_cache, f"transcripts_c{n4}_s42")
+            if not os.path.exists(os.path.join(path4, "_SUCCESS")):
+                c4 = make_corpus(n_conversations=n4, seed=42)
+                spark.createDataFrame(c4.transcripts).repartition(
+                    config.conv_partitions
+                ).write.mode("overwrite").parquet(path4)
+            tdf4 = spark.read.parquet(path4).cache()
+            n_turns4 = tdf4.count()
+        else:
+            c4 = make_corpus(n_conversations=n4, seed=42)
+            n_turns4 = len(c4.transcripts)
+            tdf4 = spark.createDataFrame(c4.transcripts).cache()
+            tdf4.count()
+        wh4 = tempfile.mkdtemp(prefix="bench_wh4_")
+        t0 = time.time()
+        report4 = run_pipeline(spark, tdf4, wh4, config)
+        secs4 = time.time() - t0
+        queries["pipeline_dedup_4x"] = round(secs4, 3)
+        extras["turns_4x"] = n_turns4
+        extras["turns_per_sec_4x"] = round(n_turns4 / secs4, 1)
+        extras["turns_per_sec_ratio_4x"] = round(
+            (n_turns4 / secs4) / (n_turns / secs), 3
+        )
+        extras["pipeline_stages_4x"] = {
+            s.table: round(s.seconds, 3) for s in report4.stages
+        }
+        shutil.rmtree(wh4, ignore_errors=True)
+        tdf4.unpersist()
+        spark.catalog.clearCache()
+
     # ---- operator benchmarks on driver tables ----
     # best-of-2 per query with a cache drain between runs: single-shot
     # timings on this shared host swing 1.5-4x (r2's dup_clusters recorded
@@ -109,7 +149,6 @@ def main():
     from dedup.tracking import drain_tracked
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    only_pipeline = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
     for name in [] if only_pipeline else [
         "dup_pairs_jaccard",
         "idf_jaccard_topk",

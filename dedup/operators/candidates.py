@@ -36,6 +36,7 @@ from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.normalize import normalize_text_col, normalize_ascii_col
 from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
 from dedup.functions.sketch import minhash_signature_udf, band_hashes_udf, simhash_udf
+from dedup.phasetimer import phase
 from dedup.tracking import register
 
 
@@ -135,12 +136,14 @@ def candidate_pairs(
     # (the vast majority of band keys) can never pair and are dropped
     # before the persist, so the cache holds only collision groups -- far
     # smaller than the r3 all-postings cache.
-    groups = (
-        bands.groupBy("band_idx", "band_hash")
+    groups = phase(
+        "k_band_groups",
+        lambda: bands.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .withColumn("gsz", F.size("ids"))
         .filter(F.col("gsz") > 1)
-        .persist()
+        .persist(),
+        count=True,
     )
     register(groups, tracker)
 

@@ -38,6 +38,7 @@ from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
 from dedup.functions.sketch import band_hashes_udf, minhash_signature_udf
 from dedup.operators.candidates import pair_structs
+from dedup.phasetimer import phase
 from dedup.tracking import register
 
 
@@ -175,18 +176,22 @@ def containment_candidates(
     # re-evaluate it once PER WINDOW inside the transform lambda (measured
     # ~12x: 34s vs 3s to enumerate 40k windows at 3.5k docs). The persist
     # is consumed exactly once and drained by the tracker after the stage.
-    pos_df = prepared.select(
-        F.col("doc_id").alias("id"),
-        F.size("gram_hashes").alias("n_grams"),
-        gram_hashes_col(
-            char_ngrams_positional_col("norm_text", config.k_shingle)
-        ).alias("pos_hashes"),
-    ).filter(
-        # a doc under the min-grams gate can never survive verification as
-        # the short side, and (having fewer distinct grams than any gated
-        # short) can never be the long side either -- skip windowing it
-        F.col("n_grams") >= config.containment_min_grams
-    ).persist()
+    pos_df = phase(
+        "c_pos_hashes",
+        lambda: prepared.select(
+            F.col("doc_id").alias("id"),
+            F.size("gram_hashes").alias("n_grams"),
+            gram_hashes_col(
+                char_ngrams_positional_col("norm_text", config.k_shingle)
+            ).alias("pos_hashes"),
+        ).filter(
+            # a doc under the min-grams gate can never survive verification
+            # as the short side, and (having fewer distinct grams than any
+            # gated short) can never be the long side either -- skip it
+            F.col("n_grams") >= config.containment_min_grams
+        ).persist(),
+        count=True,
+    )
     register(pos_df, tracker)
     windows = pos_df.select(
         "id",
@@ -206,14 +211,16 @@ def containment_candidates(
     # (a doc may appear twice in one group -- two of its windows colliding
     # on the same band key -- and the fan-out preserves that multiplicity
     # in band_hits, exactly as the r3 self-join did)
-    groups = (
-        bands.groupBy("band_idx", "band_hash")
+    groups = phase(
+        "c_window_sketch_groups",
+        lambda: bands.groupBy("band_idx", "band_hash")
         .agg(
             F.array_sort(F.collect_list(F.struct("id", "n_grams"))).alias("mem")
         )
         .withColumn("gsz", F.size("mem"))
         .filter(F.col("gsz") > 1)
-        .persist()
+        .persist(),
+        count=True,
     )
     register(groups, tracker)
     window_band_skew = groups.filter(
@@ -262,6 +269,7 @@ def containment_candidates(
         .select("id_short", "id_long", "band_hits")
         .persist()
     )
+    scored = phase("c_pair_fanout_hits", lambda: scored, count=True)
     register(scored, tracker)
     # RANKED PARTNER CAPS (config.containment_max_partners): a doc
     # colliding with hundreds of partners is shared boilerplate; verifying
@@ -350,8 +358,8 @@ def verify_containment(
         )
         .filter(F.col("containment") >= thr - 0.2)  # below both bands: dead
         .select("id_short", "id_long", "containment")
-        .localCheckpoint()
     )
+    scored = phase("c_gram_intersect", lambda: scored.localCheckpoint())
     register(scored, tracker)
 
     sure = scored.filter(F.col("containment") >= thr).withColumn(

@@ -41,6 +41,7 @@ from dedup.functions.similarity import (
     staged_levenshtein_ratio_col,
 )
 from dedup.functions.sketch import hamming_col
+from dedup.phasetimer import phase
 from dedup.tracking import register
 
 
@@ -139,11 +140,14 @@ def verify_pairs(
     # sketch-verified, lev) consume p1 inside ONE write job, and lazy cache
     # population races between concurrent branch subtrees can recompute the
     # whole phase-1 join per branch.
-    p1 = p1.filter(
-        (F.col("est") >= F.lit(gate))
-        | sim_ok
-        | (del_ok & F.col("bag_ok") & (F.col("est") >= F.lit(config.lev_est_gate)))
-    ).localCheckpoint()
+    p1 = phase(
+        "v_p1_narrow_join",
+        lambda: p1.filter(
+            (F.col("est") >= F.lit(gate))
+            | sim_ok
+            | (del_ok & F.col("bag_ok") & (F.col("est") >= F.lit(config.lev_est_gate)))
+        ).localCheckpoint(),
+    )
     register(p1, tracker)
 
     # ---- phase 2a: exact Jaccard for estimate-gate survivors ----------
@@ -164,10 +168,11 @@ def verify_pairs(
     )
     # checkpoint again: both output branches (sketch-verified, lev) read
     # ``scored``; leaving it lazy recomputes the jac join per branch.
-    scored = (
-        p1.join(jac, ["id_a", "id_b"], "left")
+    scored = phase(
+        "v_p2a_exact_jaccard",
+        lambda: p1.join(jac, ["id_a", "id_b"], "left")
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
     register(scored, tracker)
 
