@@ -62,7 +62,11 @@ def main():
     # runs on the identical deterministic corpus. The cache is keyed by
     # (convs, seed) and read back as parquet; pipeline timing starts after
     # the input is cached either way.
-    corpus_cache = os.environ.get("SPARK_GRAFT_CORPUS_CACHE")
+    corpus_cache = os.environ.get(
+        "SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus"
+    )
+    if corpus_cache:
+        os.makedirs(corpus_cache, exist_ok=True)
     if corpus_cache:
         path = os.path.join(corpus_cache, f"transcripts_c{n_conv}_s42")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -127,7 +131,10 @@ def main():
         t0 = time.time()
         report4 = run_pipeline(spark, tdf4, wh4, config)
         secs4 = time.time() - t0
-        queries["pipeline_dedup_4x"] = round(secs4, 3)
+        # extras, NOT queries: the headline total must stay definitionally
+        # comparable round-over-round (r1-r3 totals exclude any 4x run);
+        # the probe's deliverable is the throughput RATIO, not wall time.
+        extras["pipeline_dedup_4x_secs"] = round(secs4, 3)
         extras["turns_4x"] = n_turns4
         extras["turns_per_sec_4x"] = round(n_turns4 / secs4, 1)
         extras["turns_per_sec_ratio_4x"] = round(

@@ -44,11 +44,19 @@ EXEC_MEM_MB = 10240
 
 
 def run_once(cpus: int, sf_dir: str, convs: int | None, mode: str) -> dict:
+    # PER-CORE-CONSTANT heap (default 3 GB/core): a 4N-core cluster brings
+    # 4N x the memory, and GC cost tracks allocation-rate / heap-size -- a
+    # constant TOTAL heap at both levels (the pre-r4 methodology) gives the
+    # big topology 4x less headroom per allocating task thread and measures
+    # that starvation as "bad scaling". Same principle the local-cluster
+    # mode applies per executor (EXEC_MEM_MB is per-executor, not total).
+    gb_per_core = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "3"))
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ONLY_PIPELINE="1",
+        SPARK_DRIVER_MEMORY=f"{gb_per_core * cpus}g",
         # share the deterministic corpus across runs (driver-side text gen
         # is minutes at 24k+ convs and identical every run)
         SPARK_GRAFT_CORPUS_CACHE=os.environ.get(
@@ -149,6 +157,8 @@ def main():
         else f"local[{n_big}]",
         "n_small": n_small,
         "n_big": n_big,
+        "driver_memory_small": f"{int(os.environ.get('SPARK_GRAFT_MEM_PER_CORE_GB', '3')) * n_small}g",
+        "driver_memory_big": f"{int(os.environ.get('SPARK_GRAFT_MEM_PER_CORE_GB', '3')) * n_big}g",
         "convs": convs,
         "turns": small["extras"]["turns"],
         "repeats": repeats,
