@@ -63,7 +63,7 @@ def main():
     # (convs, seed) and read back as parquet; pipeline timing starts after
     # the input is cached either way.
     corpus_cache = os.environ.get(
-        "SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus"
+        "SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus_cache"
     )
     if corpus_cache:
         os.makedirs(corpus_cache, exist_ok=True)

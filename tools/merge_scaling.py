@@ -45,6 +45,34 @@ def main():
             out["kernel_probe"] = json.load(fh)
     except FileNotFoundError:
         pass
+    # Same-day sensitivity campaigns at 24k (same commit, different JVM
+    # methodology) -- kept as evidence that the headline is not a
+    # cherry-picked configuration: each entry is a full 3-repeat
+    # interleaved campaign.
+    sens = []
+    for label, path in (
+        ("g1gc_48g_both_levels", "/tmp/c1.json"),
+        ("parallelgc_48g_both_levels", "/tmp/c2.json"),
+    ):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            continue
+        sens.append(
+            {
+                "label": label,
+                "scaling_efficiency": d["scaling_efficiency"],
+                "scaling_efficiency_stage_sum": d["scaling_efficiency_stage_sum"],
+                "pipeline_secs_small_all": d["pipeline_secs_small_all"],
+                "pipeline_secs_big_all": d["pipeline_secs_big_all"],
+                "stage_efficiency": {
+                    st: v["efficiency"] for st, v in d["stages"].items()
+                },
+            }
+        )
+    if sens:
+        out["sensitivity_campaigns_24k"] = sens
     dst = os.path.join(ROOT, "BENCH_SCALING.json")
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1)
