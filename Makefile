@@ -16,7 +16,7 @@ bench:
 	$(PY) bench.py
 
 bench-scaling:
-	$(PY) tools/bench_scaling.py 8
+	$(PY) tools/bench_scaling.py 4 /root/testdata/sf0.1 24000 3 threads
 
 # Package for spark-submit --py-files dist/dedup.zip dedup/cli.py run ...
 dist:
