@@ -60,12 +60,22 @@ def main():
     # Optional corpus cache: make_corpus is single-threaded driver Python
     # (~3-5 min at 24k+ conversations), pure overhead for repeated scaling
     # runs on the identical deterministic corpus. The cache is keyed by
-    # (convs, seed) and read back as parquet; pipeline timing starts after
-    # the input is cached either way.
+    # (convs, seed, GENERATOR VERSION) -- the version component is a hash
+    # of dedup/generate.py, so editing the generator (or a foreign process
+    # squatting the world-writable /tmp path) can never silently feed a
+    # stale corpus into round-over-round comparisons.
     corpus_cache = os.environ.get(
         "SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus_cache"
     )
     if corpus_cache:
+        import hashlib
+
+        gen_src = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "dedup", "generate.py"
+        )
+        with open(gen_src, "rb") as fh:
+            gen_ver = hashlib.sha256(fh.read()).hexdigest()[:10]
+        corpus_cache = os.path.join(corpus_cache, f"gen_{gen_ver}")
         os.makedirs(corpus_cache, exist_ok=True)
     if corpus_cache:
         path = os.path.join(corpus_cache, f"transcripts_c{n_conv}_s42")
@@ -81,16 +91,32 @@ def main():
         n_turns = len(corpus.transcripts)
         tdf = spark.createDataFrame(corpus.transcripts).cache()
         tdf.count()
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
-    t0 = time.time()
-    report = run_pipeline(spark, tdf, wh, config)
-    secs = time.time() - t0
+    # best-of-N with a fresh warehouse per run (default 2, like the
+    # operator queries): single-shot pipeline timings on this shared host
+    # swing 1.5-2x (r4's 81.6s single run was contradicted by its own 4x
+    # probe), so the headline must not be hostage to one noisy run. All
+    # runs are reported (pipeline_dedup_all) so the spread stays visible.
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPEATS", "2"))
+    pipe_all: list[float] = []
+    best_secs, best_report = None, None
+    for _ in range(pipe_repeats):
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        t0 = time.time()
+        report = run_pipeline(spark, tdf, wh, config)
+        run_secs = time.time() - t0
+        pipe_all.append(round(run_secs, 3))
+        if best_secs is None or run_secs < best_secs:
+            best_secs, best_report = run_secs, report
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.catalog.clearCache()
+    secs, report = best_secs, best_report
     queries["pipeline_dedup"] = round(secs, 3)
+    extras["pipeline_dedup_all"] = pipe_all
     extras["turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / secs, 1)
     # per-stage seconds: the evidence trail for the scaling-efficiency
     # analysis (which stage stops scaling with cores) -- build-time per
-    # stage, measured by the checkpoint catalog.
+    # stage, measured by the checkpoint catalog (best run's stages).
     extras["pipeline_stages"] = {
         s.table: round(s.seconds, 3) for s in report.stages
     }
@@ -100,7 +126,6 @@ def main():
     extras["pipeline_stage_breakdown"] = {
         s.table: s.breakdown for s in report.stages if s.breakdown
     }
-    shutil.rmtree(wh, ignore_errors=True)
     tdf.unpersist()
     spark.catalog.clearCache()
 

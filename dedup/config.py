@@ -188,6 +188,14 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
                 f"must equal num_perm ({self.num_perm})"
             )
+        if self.containment_window != 2 * self.containment_stride:
+            # the containment windower composes each window's MinHash from
+            # two adjacent non-overlapping stride blocks (min of MinHashes
+            # == MinHash of the union), which is exact iff w == 2*s
+            raise ValueError(
+                f"containment_window ({self.containment_window}) must be "
+                f"2 * containment_stride ({self.containment_stride})"
+            )
 
     # Deterministic (a, b) permutation parameters for MinHash:
     # h_i(x) = ((a_i * x + b_i) mod p) with p = 2^61-1, a_i in [1, p),

@@ -6,7 +6,7 @@ from dedup.functions.similarity import (
     staged_levenshtein_ratio_col,
     token_sort_col,
 )
-from dedup.functions.sketch import minhash_signature_udf, band_hashes_udf, simhash_udf
+from dedup.functions.sketch import minhash_signature_udf, band_hashes_col, simhash_udf
 
 __all__ = [
     "normalize_text_col",
@@ -18,6 +18,6 @@ __all__ = [
     "staged_levenshtein_ratio_col",
     "token_sort_col",
     "minhash_signature_udf",
-    "band_hashes_udf",
+    "band_hashes_col",
     "simhash_udf",
 ]

@@ -31,10 +31,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG, MERSENNE_PRIME, MAX_HASH
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
 def _fold61(v: np.ndarray, tmp: np.ndarray) -> None:
     """In-place reduce v (any uint64) into [0, p) with the Mersenne
     identity 2^61 ≡ 1 (mod p): v = (v >> 61) + (v & p), conditional
@@ -119,20 +115,58 @@ def _to_field(hashes: np.ndarray) -> np.ndarray:
 _MINHASH_CHUNK_GRAMS = 24_000
 
 
+def _minhash_matrix(
+    sizes: np.ndarray, flat: np.ndarray, a_params, b_params, num_perm: int
+) -> np.ndarray:
+    """Segment MinHash kernel shared by the whole-doc and block UDFs:
+    ``sizes[i]`` grams per segment, ``flat`` = the segments' int64 gram
+    hashes concatenated in order. Returns an (n_segments, num_perm) int64
+    signature matrix; empty segments get the MAX_HASH sentinel row (never
+    collides with a real min).
+
+    Vectorization shape: segments are chunked by total gram budget; inside
+    a chunk, each permutation is two vector ops + one np.minimum.reduceat
+    segment-min over the chunk's flat gram vector -- O(num_perm * G) work
+    with an O(G) working set (never O(num_perm * G) memory)."""
+    p = MERSENNE_PRIME
+    n = len(sizes)
+    sigs = np.full((n, num_perm), int(MAX_HASH), dtype=np.uint64)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    start = 0
+    while start < n:
+        stop = start + 1
+        total = int(sizes[start])
+        while stop < n and total + sizes[stop] <= _MINHASH_CHUNK_GRAMS:
+            total += int(sizes[stop])
+            stop += 1
+        csizes = sizes[start:stop]
+        nonempty = csizes > 0
+        if nonempty.any():
+            x = _to_field(flat[bounds[start] : bounds[stop]])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
+            block = sigs[start:stop]
+            ne_idx = np.nonzero(nonempty)[0]
+            work = np.empty((3, len(x)), dtype=np.uint64)
+            tmp = work[1]
+            for i in range(num_perm):
+                h = _mulmod_p(np.uint64(a_params[i]), x, work)
+                np.add(h, b_params[i], out=h)      # < 2p, fits uint64
+                np.subtract(h, p, out=tmp)         # division-free mod:
+                np.minimum(h, tmp, out=h)          # wraps below p
+                block[ne_idx, i] = np.minimum.reduceat(h, offsets)
+        start = stop
+    return sigs.astype(np.int64)
+
+
 def minhash_signature_udf(
     gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
 ) -> Column:
     """array<bigint> shingle hashes -> array<bigint> MinHash signature of
-    length num_perm. Empty shingle sets get the MAX_HASH sentinel row (never
-    collides with a real min).
-
-    Vectorization shape: rows are chunked by total gram budget; inside a
-    chunk, each permutation is two vector ops + one np.minimum.reduceat
-    segment-min over the chunk's flat gram vector -- O(num_perm * G) work
-    with an O(G) working set (never O(num_perm * G) memory)."""
+    length num_perm (one segment per row; see _minhash_matrix)."""
     a_params, b_params = config.perm_params()
     num_perm = config.num_perm
-    p = MERSENNE_PRIME
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(batches: pd.Series) -> pd.Series:
@@ -142,73 +176,90 @@ def minhash_signature_udf(
         sizes = np.fromiter(
             (0 if v is None else len(v) for v in batches), dtype=np.int64, count=n
         )
-        sigs = np.full((n, num_perm), int(MAX_HASH), dtype=np.uint64)
-        start = 0
-        while start < n:
-            stop = start + 1
-            total = int(sizes[start])
-            while stop < n and total + sizes[stop] <= _MINHASH_CHUNK_GRAMS:
-                total += int(sizes[stop])
-                stop += 1
-            csizes = sizes[start:stop]
-            nonempty = csizes > 0
-            if nonempty.any():
-                flat = np.concatenate(
-                    [
-                        np.asarray(v, dtype=np.int64)
-                        for v in batches.iloc[start:stop]
-                        if v is not None and len(v)
-                    ]
-                )
-                x = _to_field(flat)
-                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-                np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
-                block = sigs[start:stop]
-                ne_idx = np.nonzero(nonempty)[0]
-                work = np.empty((3, len(x)), dtype=np.uint64)
-                tmp = work[1]
-                for i in range(num_perm):
-                    h = _mulmod_p(np.uint64(a_params[i]), x, work)
-                    np.add(h, b_params[i], out=h)      # < 2p, fits uint64
-                    np.subtract(h, p, out=tmp)         # division-free mod:
-                    np.minimum(h, tmp, out=h)          # wraps below p
-                    block[ne_idx, i] = np.minimum.reduceat(h, offsets)
-            start = stop
-        out = sigs.astype(np.int64)
-        return pd.Series(list(out))
+        arrs = [
+            np.asarray(v, dtype=np.int64)
+            for v in batches
+            if v is not None and len(v)
+        ]
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm)
+        return pd.Series(list(sigs))
 
     c = F.col(gram_hashes) if isinstance(gram_hashes, str) else gram_hashes
     return _sig(c)
 
 
-def band_hashes_udf(
-    signature: Column | str, config: DedupConfig = DEFAULT_CONFIG
+def block_minhash_udf(
+    pos_hashes: Column | str, stride: int, config: DedupConfig = DEFAULT_CONFIG
 ) -> Column:
-    """MinHash signature -> array<bigint> of lsh_bands band hashes (FNV-1a
-    over each band's r signature values + the band index, so identical rows
-    in different bands never collide)."""
-    bands, rows = config.lsh_bands, config.lsh_rows
+    """Positional gram-hash sequence -> array<array<bigint>>: one MinHash
+    signature per non-overlapping ``stride``-gram BLOCK of the sequence
+    (last block = the tail).
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _bands(sigs: pd.Series) -> pd.Series:
-        n = len(sigs)
+    Why blocks instead of sketching each sliding window directly: MinHash
+    of a set union is the elementwise min of the parts' MinHashes, so with
+    window = 2 * stride every sliding window's signature is EXACTLY
+    zip_with(least) of two adjacent block signatures (the containment
+    windower composes them JVM-side). Each gram then crosses the Python
+    boundary and feeds the permutation kernel ONCE instead of once per
+    overlapping window -- half the sketch compute and half the Arrow
+    transfer of the r4 per-window plan, with bit-identical band keys."""
+    a_params, b_params = config.perm_params()
+    num_perm = config.num_perm
+    s = int(stride)
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def _blocks(batches: pd.Series) -> pd.Series:
+        n = len(batches)
         if n == 0:
             return pd.Series([], dtype=object)
-        mat = np.vstack([np.asarray(s, dtype=np.int64) for s in sigs]).astype(
-            np.uint64
-        )  # (n, num_perm)
-        cube = mat.reshape(n, bands, rows)
-        h = np.full((n, bands), int(_FNV_OFFSET), dtype=np.uint64)
-        for r in range(rows):
-            h ^= cube[:, :, r]
-            h *= _FNV_PRIME
-        h ^= np.arange(bands, dtype=np.uint64)[None, :]
-        h *= _FNV_PRIME
-        out = h.astype(np.int64)
-        return pd.Series(list(out))
+        arrs: list[np.ndarray] = []
+        seg_sizes: list[int] = []
+        row_nblocks = np.zeros(n, dtype=np.int64)
+        for r_i, v in enumerate(batches):
+            if v is None or len(v) == 0:
+                continue
+            a = np.asarray(v, dtype=np.int64)
+            nb = (len(a) + s - 1) // s
+            row_nblocks[r_i] = nb
+            arrs.append(a)
+            seg_sizes.extend([s] * (nb - 1))
+            seg_sizes.append(len(a) - s * (nb - 1))
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        sizes = np.asarray(seg_sizes, dtype=np.int64)
+        sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm)
+        out: list[list] = []
+        pos = 0
+        for nb in row_nblocks:
+            out.append([sigs[pos + j] for j in range(nb)])
+            pos += nb
+        return pd.Series(out, dtype=object)
 
+    c = F.col(pos_hashes) if isinstance(pos_hashes, str) else pos_hashes
+    return _blocks(c)
+
+
+def band_hashes_col(
+    signature: Column | str, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """MinHash signature -> array<bigint> of lsh_bands band hashes, fully
+    NATIVE: xxhash64 over (band_idx, the band's r signature values). The
+    band index participates in the hash so identical signature rows landing
+    in different bands never collide.
+
+    This replaced an FNV pandas UDF: band hashing only needs
+    equal-slices ⟺ equal-hash, and xxhash64 over an array slice keeps the
+    whole LSH candidate stage JVM-side -- no Python worker ever spins up
+    for candidate generation, which was a measured per-stage FIXED cost
+    (worker fork + numpy/pandas import across all task threads) that did
+    not shrink with cores (VERDICT r4: candidate_pairs flat at 0.28
+    efficiency across 4 vs 16 cores)."""
+    bands, rows = config.lsh_bands, config.lsh_rows
     c = F.col(signature) if isinstance(signature, str) else signature
-    return _bands(c)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(i, F.slice(c, i * rows + 1, rows)),
+    )
 
 
 # bound on total shingle count processed per vectorized simhash chunk: the

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
-from dedup.functions.sketch import band_hashes_udf
+from dedup.functions.sketch import band_hashes_col
 from dedup.operators.assemble import assemble_conversations
 from dedup.operators.candidates import candidate_pairs, prepare_docs
 from dedup.operators.verify import verify_pairs
@@ -54,7 +54,7 @@ class IncrementalResult:
 def _bands(prepared: DataFrame, config: DedupConfig) -> DataFrame:
     return prepared.select(
         "doc_id",
-        F.posexplode(band_hashes_udf("minhash", config)).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes_col("minhash", config)).alias("band_idx", "band_hash"),
     )
 
 

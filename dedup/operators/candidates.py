@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.normalize import normalize_text_col, normalize_ascii_col
 from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
-from dedup.functions.sketch import minhash_signature_udf, band_hashes_udf, simhash_udf
+from dedup.functions.sketch import minhash_signature_udf, band_hashes_col, simhash_udf
 from dedup.phasetimer import phase
 from dedup.tracking import register
 
@@ -128,7 +128,7 @@ def candidate_pairs(
     accumulate across batches."""
     bands = prepared.select(
         "doc_id",
-        F.posexplode(band_hashes_udf("minhash", config)).alias(
+        F.posexplode(band_hashes_col("minhash", config)).alias(
             "band_idx", "band_hash"
         ),
     )

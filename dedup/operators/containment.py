@@ -36,7 +36,7 @@ from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
-from dedup.functions.sketch import band_hashes_udf, minhash_signature_udf
+from dedup.functions.sketch import band_hashes_col, block_minhash_udf
 from dedup.operators.candidates import pair_structs
 from dedup.phasetimer import phase
 from dedup.tracking import register
@@ -123,12 +123,36 @@ def lcs_substring_ratio_udf(text_a: Column | str, text_b: Column | str) -> Colum
 # ---------------------------------------------------------------------------
 
 def _window_slices(gram_hashes: Column, window: int, stride: int) -> Column:
-    """array<array<bigint>>: sliding windows over the gram-hash sequence."""
+    """array<array<bigint>>: sliding windows over the gram-hash sequence.
+    No longer on the production path (the candidate generator composes
+    window signatures from block MinHashes instead -- bit-identical, half
+    the sketch work); kept as the direct-slicing cross-check used by
+    tests/tools (tools/probe_verify.py, tests/test_containment.py)."""
     n = F.size(gram_hashes)
     n_win = F.greatest(F.ceil((n - F.lit(window)) / F.lit(stride)) + 1, F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n_win.cast("int") - 1),
         lambda i: F.slice(gram_hashes, i * stride + 1, window),
+    )
+
+
+def window_sigs_col(blk_sigs: Column | str) -> Column:
+    """Per-block MinHash signatures -> per-WINDOW signatures, natively:
+    window i = zip_with(least) of blocks i and i+1 (single-block tail /
+    single-block doc uses block i alone). Exactly equal to MinHashing each
+    sliding window slice directly when window == 2 * stride, because
+    MinHash of a set union is the elementwise min of the parts' MinHashes
+    (parity-tested against direct slicing in tests/test_containment.py).
+
+    Window count = max(n_blocks - 1, 1) == the sliding-window count
+    ceil((n - w) / s) + 1 floored at 1, for w == 2*s."""
+    bs = F.col(blk_sigs) if isinstance(blk_sigs, str) else blk_sigs
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(bs) - 2, F.lit(0))),
+        lambda i: F.when(
+            F.get(bs, i + 1).isNotNull(),
+            F.zip_with(F.get(bs, i), F.get(bs, i + 1), lambda x, y: F.least(x, y)),
+        ).otherwise(F.get(bs, i)),
     )
 
 
@@ -148,9 +172,10 @@ def containment_candidates(
     plus two accounting ledgers (no silent truncation): oversized window
     band groups and pairs dropped by the ranked partner caps.
 
-    EVERY doc is windowed uniformly (window W grams, stride W/2; docs
+    EVERY doc is windowed uniformly (window W grams, stride s = W/2; docs
     shorter than W emit one whole-doc window), each window gets its own
-    MinHash + band hashes, and windows meet on band keys exactly like the
+    MinHash (composed from per-block sketches -- see block_minhash_udf)
+    + native band hashes, and windows meet on band keys exactly like the
     ordinary LSH path. Windows slice the POSITIONAL gram sequence
     (duplicates preserved): element i is the gram at char i, so a span
     shared at ANY offset yields window pairs aligned within stride/2
@@ -169,12 +194,12 @@ def containment_candidates(
     (window groups need no salted path: the cap stays small because an
     oversized WINDOW group is per-span boilerplate that the whole-doc tier
     already links transitively)."""
-    w, s = config.containment_window, config.containment_stride
-    # MATERIALIZE the positional hash array before slicing: higher-order
-    # functions are interpreted (no codegen subexpression elimination), so
-    # feeding the shingle+xxhash chain directly into _window_slices would
-    # re-evaluate it once PER WINDOW inside the transform lambda (measured
-    # ~12x: 34s vs 3s to enumerate 40k windows at 3.5k docs). The persist
+    s = config.containment_stride
+    # MATERIALIZE the positional hash array before sketching: computing it
+    # inline would splice the shingle+xxhash chain into the block UDF's
+    # input projection and (higher-order functions being interpreted, with
+    # no codegen subexpression elimination) risk re-evaluation per
+    # consumer (measured ~12x on the r3 window-slicing plan). The persist
     # is consumed exactly once and drained by the tracker after the stage.
     pos_df = phase(
         "c_pos_hashes",
@@ -193,19 +218,30 @@ def containment_candidates(
         count=True,
     )
     register(pos_df, tracker)
-    windows = pos_df.select(
+    # Per-BLOCK MinHash (non-overlapping stride-gram segments), composed
+    # into per-window signatures JVM-side: with w == 2*s (enforced by
+    # DedupConfig) window i covers exactly blocks i and i+1, and MinHash of
+    # a union is the elementwise min of the parts' MinHashes -- so
+    # zip_with(least) over adjacent block signatures yields BIT-IDENTICAL
+    # window signatures (hence identical band keys and candidates) to
+    # sketching each overlapping window slice directly, at half the UDF
+    # gram work and half the Arrow transfer (see block_minhash_udf).
+    blk = pos_df.select(
         "id",
         "n_grams",
-        F.posexplode(_window_slices(F.col("pos_hashes"), w, s)).alias(
-            "win_idx", "win_hashes"
-        ),
+        block_minhash_udf("pos_hashes", s, config).alias("blk_sigs"),
+    )
+    windows = blk.select(
+        "id",
+        "n_grams",
+        F.posexplode(window_sigs_col("blk_sigs")).alias("win_idx", "win_sig"),
     )
     bands = windows.select(
         "id",
         "n_grams",
-        F.posexplode(
-            band_hashes_udf(minhash_signature_udf("win_hashes", config), config)
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes_col("win_sig", config)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     # single shuffle: collision groups as sorted (id, n_grams) member lists
     # (a doc may appear twice in one group -- two of its windows colliding

@@ -74,7 +74,7 @@ def run_pipeline(
     """Execute (or resume) the full dedup pipeline. Every stage table that
     already exists with a matching config fingerprint is reused untouched,
     so a kill at any point resumes without recomputation and yields an
-    identical ``clusters`` table (tests/test_resume.py)."""
+    identical ``clusters`` table (tests/test_pipeline.py::test_resume_mid_stage)."""
     t0 = time.time()
     cat = CheckpointCatalog(
         spark, warehouse, run_id=run_id, config_fingerprint=config.config_fingerprint()
@@ -119,8 +119,12 @@ def run_pipeline(
     def _cands():
         res = candidate_pairs(reps, config, tracker=tracker)
         # persist skew accounting alongside (separate table, same commit
-        # discipline) -- the "no silent truncation" ledger.
-        cat.write("band_skew", res.band_skew, stage="candidate_pairs")
+        # discipline) -- the "no silent truncation" ledger. The write is a
+        # filter over the band groups the pairs job persists anyway, and
+        # the table is tiny by construction (only oversized groups), so it
+        # coalesces to a handful of files: the ledger job must stay a
+        # sub-second fixed cost, not a second shuffle (VERDICT r4 #3).
+        cat.write("band_skew", res.band_skew, stage="candidate_pairs", num_files=4)
         return res.pairs
 
     cands, r = cat.write_or_resume("candidate_pairs", _cands)
@@ -146,7 +150,10 @@ def run_pipeline(
             # band groups + pairs dropped by the ranked partner caps --
             # same commit discipline as band_skew.
             cat.write(
-                "window_band_skew", cres.window_band_skew, stage="containment_pairs"
+                "window_band_skew",
+                cres.window_band_skew,
+                stage="containment_pairs",
+                num_files=4,
             )
             # the capped ledger is written AGGREGATED per short doc: the raw
             # dropped-pair list is O(shorts x pre-cap partners) -- unbounded
@@ -159,6 +166,7 @@ def run_pipeline(
                     F.max("band_hits").alias("max_band_hits_dropped"),
                 ),
                 stage="containment_pairs",
+                num_files=4,
             )
             return verify_containment(cres.pairs, reps, config, tracker=tracker)
 

@@ -75,11 +75,14 @@ def get_spark(
     # real cluster executors size their own heaps and this matters far
     # less -- but the same flag belongs in spark.executor.extraJavaOptions
     # for array-heavy stages.
-    java_opts = os.environ.get(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
-    )
-    if java_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # User opts are APPENDED after the ParallelGC default rather than
+    # replacing it: a user adding e.g. -Xlog:gc must not silently revert
+    # to the G1 default (the exact anti-scaling configuration documented
+    # above). An explicit -XX:+UseG1GC in the user opts still wins because
+    # the later flag takes precedence on the JVM command line.
+    user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+    java_opts = ("-XX:+UseParallelGC " + user_opts).strip()
+    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if master.startswith("local-cluster"):
         mem_mb = master.split(",")[-1].rstrip("]").strip()
         builder = (

@@ -49,6 +49,42 @@ def contain_corpus(spark, config):
     return prep, cfg
 
 
+def test_block_composed_window_sigs_match_direct_slicing(spark, config):
+    """The production windower composes each window's MinHash from two
+    adjacent block sketches (min of MinHashes == MinHash of the union).
+    This must be BIT-IDENTICAL to MinHashing each sliding window slice
+    directly -- same signatures, hence same band keys and candidates."""
+    from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
+    from dedup.functions.sketch import block_minhash_udf, minhash_signature_udf
+    from dedup.operators.containment import _window_slices, window_sigs_col
+
+    rng = random.Random(11)
+    cfg = config.with_(containment_window=64, containment_stride=32)
+    w, s = cfg.containment_window, cfg.containment_stride
+    # lengths straddle every boundary case: < stride, == stride, < window,
+    # == window, just past, mid-block tail, many blocks
+    texts = [_random_text(rng, n) for n in (5, 8, 12, 16, 20, 33, 60, 150)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    pos = df.select(
+        "id",
+        gram_hashes_col(char_ngrams_positional_col("t", cfg.k_shingle)).alias("ph"),
+    ).cache()
+    direct = pos.select(
+        "id",
+        F.posexplode(_window_slices(F.col("ph"), w, s)).alias("wi", "wh"),
+    ).select("id", "wi", minhash_signature_udf("wh", cfg).alias("sig"))
+    # two-step select like the production plan: a Python-UDF output column
+    # cannot be referenced inside a higher-order-function lambda directly
+    composed = (
+        pos.select("id", block_minhash_udf("ph", s, cfg).alias("bs"))
+        .select("id", window_sigs_col("bs").alias("ws"))
+        .select("id", F.posexplode("ws").alias("wi", "sig"))
+    )
+    a = {(r["id"], r["wi"]): list(r["sig"]) for r in direct.collect()}
+    b = {(r["id"], r["wi"]): list(r["sig"]) for r in composed.collect()}
+    assert a == b
+
+
 def test_containment_candidates_surface_planted(spark, contain_corpus):
     prep, cfg = contain_corpus
     cands = {

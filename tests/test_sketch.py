@@ -6,7 +6,7 @@ import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig
 from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
-from dedup.functions.sketch import band_hashes_udf, hamming_col, minhash_signature_udf, simhash_udf
+from dedup.functions.sketch import band_hashes_col, hamming_col, minhash_signature_udf, simhash_udf
 
 
 def _prep(spark, config, texts):
@@ -64,7 +64,7 @@ def test_minhash_deterministic_across_sessions(spark, config):
 def test_band_hashes_shape_and_equality(spark, config):
     texts = ["identical text body here", "identical text body here", "another thing"]
     df = _prep(spark, config, texts).select(
-        "id", band_hashes_udf("sig", config).alias("bands")
+        "id", band_hashes_col("sig", config).alias("bands")
     )
     rows = {r["id"]: r["bands"] for r in df.collect()}
     assert all(len(v) == config.lsh_bands for v in rows.values())

@@ -38,23 +38,30 @@ def main():
         camp = json.load(fh)
     n_small, n_big = camp["n_small"], camp["n_big"]
 
-    # reconstruct per-run (pipeline secs, stage dict) for the original
-    # repeats from the campaign's stderr log lines
+    # per-run history: prefer the campaign's own persisted raw_runs list
+    # (written by this tool on every append, so repeated appends never
+    # drop earlier appended pairs); fall back to reconstructing the
+    # ORIGINAL campaign's repeats from its stderr log only on the first
+    # append (any run mode label, not just threads[N]).
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
-    pat = re.compile(
-        r"run \d+: threads\[(\d+)\] pipeline ([0-9.]+)s stages=(\{.*\})"
-    )
-    for line in open(log):
-        m = pat.search(line)
-        if m:
-            runs[int(m.group(1))].append(
-                {
-                    "secs": float(m.group(2)),
-                    "stages": ast.literal_eval(m.group(3)),
-                    "breakdown": None,
-                    "turns_per_sec": None,
-                }
-            )
+    if "raw_runs" in camp:
+        for n in (n_small, n_big):
+            runs[n] = list(camp["raw_runs"][str(n)])
+    else:
+        pat = re.compile(
+            r"run \d+: [\w-]+\[(\d+)[^\]]*\] pipeline ([0-9.]+)s stages=(\{.*\})"
+        )
+        for line in open(log):
+            m = pat.search(line)
+            if m:
+                runs[int(m.group(1))].append(
+                    {
+                        "secs": float(m.group(2)),
+                        "stages": ast.literal_eval(m.group(3)),
+                        "breakdown": None,
+                        "turns_per_sec": None,
+                    }
+                )
     for n, path in ((n_small, small_out), (n_big, big_out)):
         b = load_bench(path)
         runs[n].append(
@@ -110,8 +117,17 @@ def main():
     camp["scaling_efficiency_stage_sum"] = round(sum_small / sum_big / ratio, 3)
     for n, key in ((n_small, "stage_breakdown_small"), (n_big, "stage_breakdown_big")):
         b = best(n)
+        # the breakdown must describe the run whose pipeline_secs is
+        # reported as best; a log-reconstructed best has no breakdown, so
+        # drop a stale one rather than misattribute it
         if b["breakdown"]:
             camp[key] = b["breakdown"]
+        else:
+            camp.pop(key, None)
+
+    # persist the full run history so the next append rebuilds aggregates
+    # from data, not from a log re-parse
+    camp["raw_runs"] = {str(n): runs[n] for n in (n_small, n_big)}
 
     with open(cpath, "w") as fh:
         json.dump(camp, fh, indent=1)

@@ -56,6 +56,10 @@ def run_once(cpus: int, sf_dir: str, convs: int | None, mode: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ONLY_PIPELINE="1",
+        # the campaign interleaves its own repeats; bench.py's internal
+        # best-of-2 pipeline loop would double every campaign run for no
+        # extra information
+        SPARK_GRAFT_BENCH_PIPE_REPEATS="1",
         SPARK_DRIVER_MEMORY=f"{gb_per_core * cpus}g",
         # share the deterministic corpus across runs (driver-side text gen
         # is minutes at 24k+ convs and identical every run)
@@ -79,7 +83,11 @@ def run_once(cpus: int, sf_dir: str, convs: int | None, mode: str) -> dict:
         check=True,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    # record the driver heap ACTUALLY set for this run (cluster mode
+    # overrides it to 8g; the artifact must not recompute it from env)
+    r["_driver_memory"] = env["SPARK_DRIVER_MEMORY"]
+    return r
 
 
 def main():
@@ -157,8 +165,8 @@ def main():
         else f"local[{n_big}]",
         "n_small": n_small,
         "n_big": n_big,
-        "driver_memory_small": f"{int(os.environ.get('SPARK_GRAFT_MEM_PER_CORE_GB', '3')) * n_small}g",
-        "driver_memory_big": f"{int(os.environ.get('SPARK_GRAFT_MEM_PER_CORE_GB', '3')) * n_big}g",
+        "driver_memory_small": small["_driver_memory"],
+        "driver_memory_big": big["_driver_memory"],
         "convs": convs,
         "turns": small["extras"]["turns"],
         "repeats": repeats,
@@ -180,6 +188,21 @@ def main():
         "total_secs_small": small["value"],
         "total_secs_big": big["value"],
         "sf_dir": sf_dir,
+        # full per-run history: tools/append_scaling_run.py extends the
+        # campaign from THIS list (never from a log re-parse), so earlier
+        # appended pairs survive repeated appends
+        "raw_runs": {
+            str(n): [
+                {
+                    "secs": r["queries"]["pipeline_dedup"],
+                    "stages": r["extras"].get("pipeline_stages"),
+                    "breakdown": r["extras"].get("pipeline_stage_breakdown"),
+                    "turns_per_sec": r["extras"].get("turns_per_sec"),
+                }
+                for r in runs[n]
+            ]
+            for n in (n_small, n_big)
+        },
     }
 
     # Fixed-floor attribution from the per-stage build/job/footer/commit

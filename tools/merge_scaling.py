@@ -16,10 +16,17 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _warn(msg: str) -> None:
+    print(f"WARNING: {msg} -- BENCH_SCALING.json will be missing a section "
+          "the BASELINE.md narrative may cite", file=sys.stderr)
+
+
 def main():
     p24 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_SCALING_24k.json")
     p40 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "BENCH_SCALING_40k.json")
-    phw = sys.argv[3] if len(sys.argv) > 3 else "/tmp/probe_hw_now.json"
+    # campaign side-inputs live in the COMMITTED artifacts/ dir (not /tmp):
+    # re-running this merge after a reboot must reproduce the same artifact
+    phw = sys.argv[3] if len(sys.argv) > 3 else os.path.join(ROOT, "artifacts", "probe_hw_now.json")
 
     with open(p24) as fh:
         out = json.load(fh)
@@ -39,25 +46,26 @@ def main():
             if k in r40
         }
     except FileNotFoundError:
-        pass
+        _warn(f"secondary-size campaign not found at {p40}")
     try:
         with open(phw) as fh:
             out["kernel_probe"] = json.load(fh)
     except FileNotFoundError:
-        pass
+        _warn(f"kernel probe not found at {phw}")
     # Same-day sensitivity campaigns at 24k (same commit, different JVM
     # methodology) -- kept as evidence that the headline is not a
     # cherry-picked configuration: each entry is a full 3-repeat
     # interleaved campaign.
     sens = []
     for label, path in (
-        ("g1gc_48g_both_levels", "/tmp/c1.json"),
-        ("parallelgc_48g_both_levels", "/tmp/c2.json"),
+        ("g1gc_48g_both_levels", os.path.join(ROOT, "artifacts", "sens_24k_g1gc_48g.json")),
+        ("parallelgc_48g_both_levels", os.path.join(ROOT, "artifacts", "sens_24k_parallelgc_48g.json")),
     ):
         try:
             with open(path) as fh:
                 d = json.load(fh)
         except FileNotFoundError:
+            _warn(f"sensitivity campaign {label!r} not found at {path}")
             continue
         sens.append(
             {

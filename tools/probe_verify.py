@@ -155,7 +155,7 @@ def main():
         _window_slices,
         lcs_substring_ratio_udf,
     )
-    from dedup.functions.sketch import band_hashes_udf, minhash_signature_udf
+    from dedup.functions.sketch import band_hashes_col, minhash_signature_udf
 
     w, s = config.containment_window, config.containment_stride
     windows = prepared.select(
@@ -171,7 +171,7 @@ def main():
             "id",
             "n_grams",
             F.posexplode(
-                band_hashes_udf(minhash_signature_udf("win_hashes", config), config)
+                band_hashes_col(minhash_signature_udf("win_hashes", config), config)
             ).alias("band_idx", "band_hash"),
         ).localCheckpoint(),
     )
