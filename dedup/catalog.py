@@ -119,7 +119,14 @@ class CheckpointCatalog:
             shutil.rmtree(staging)
         writer = df.write.mode("overwrite")
         if num_files:
-            df = df.coalesce(num_files)
+            # repartition, NOT coalesce: coalesce propagates upstream
+            # through narrow deps to the previous shuffle/cache boundary,
+            # collapsing the whole producing job to num_files tasks
+            # (measured: the containment band groupBy serialized onto 4
+            # tasks when the skew-ledger write was coalesce(4)). The
+            # repartition exchange isolates upstream parallelism; for the
+            # small tables this knob is meant for, its shuffle is trivial.
+            df = df.repartition(num_files)
             writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)

@@ -1,90 +1,137 @@
-"""Finalize the round's scaling artifact: merge the 24k headline campaign,
-the 40k secondary-size campaign, the no-Spark kernel probe, and the 24k
-sensitivity campaigns into BENCH_SCALING.json, then compute the derived
-summary numbers the narrative cites (compute-stage efficiency with the
-O(stages) floor netted out, per-stage efficiencies at both sizes).
+"""Finalize the round's scaling artifact: merge the per-size campaigns
+(headline = the LARGEST corpus, where the O(stages) fixed floor is most
+amortized -- the direction the 10^12-turn target lives in), the no-Spark
+kernel probe, the bare-multiprocessing verify probe, and smaller-size
+history into BENCH_SCALING.json, then compute the derived summary numbers
+the narrative cites (compute-stage efficiency with the O(stages) floor
+netted out, per-stage efficiencies at every size).
 
-Usage: python tools/finalize_scaling.py
+Usage: python tools/finalize_scaling.py [headline.json] [secondary.json ...]
+Defaults: BENCH_SCALING_100k.json headline, BENCH_SCALING_64k.json
+secondary, plus any BENCH_SCALING_{40k,24k}.json present as history.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # stages whose wall time is O(stages)/fixed-floor at these corpus sizes
-# (1-5s at BOTH parallelism levels: job scheduling + AQE planning + commit
-# barriers, not data-proportional compute)
+# (1-5s at BOTH parallelism levels: job scheduling + AQE planning rounds +
+# commit barriers, not data-proportional compute)
 FLOOR_STAGES = {"assembled", "exact_groups", "clusters"}
+
+SECONDARY_KEYS = (
+    "convs", "turns", "repeats",
+    "pipeline_secs_small", "pipeline_secs_big",
+    "pipeline_secs_small_all", "pipeline_secs_big_all",
+    "turns_per_sec_small", "turns_per_sec_big",
+    "speedup", "scaling_efficiency",
+    "scaling_efficiency_stage_sum", "stages",
+)
+
+
+def net_floor(stages: dict) -> dict:
+    sm = sum(v["secs_small"] for s, v in stages.items() if s not in FLOOR_STAGES)
+    bg = sum(v["secs_big"] for s, v in stages.items() if s not in FLOOR_STAGES)
+    return {
+        "compute_secs_small": round(sm, 3),
+        "compute_secs_big": round(bg, 3),
+        "compute_stage_efficiency": round(sm / bg / 4, 3) if bg else None,
+    }
 
 
 def main():
-    subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools", "merge_scaling.py")],
-        check=True,
+    headline = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "BENCH_SCALING_100k.json"
     )
-    path = os.path.join(ROOT, "BENCH_SCALING.json")
-    with open(path) as fh:
-        out = json.load(fh)
+    secondaries = sys.argv[2:] if len(sys.argv) > 2 else [
+        p
+        for name in ("BENCH_SCALING_64k.json",)
+        if os.path.exists(p := os.path.join(ROOT, name))
+    ]
 
-    def net_floor(stages: dict) -> dict:
-        sm = sum(
-            v["secs_small"] for s, v in stages.items() if s not in FLOOR_STAGES
-        )
-        bg = sum(
-            v["secs_big"] for s, v in stages.items() if s not in FLOOR_STAGES
-        )
-        return {
-            "compute_secs_small": round(sm, 3),
-            "compute_secs_big": round(bg, 3),
-            "compute_stage_efficiency": round(sm / bg / 4, 3) if bg else None,
+    with open(headline) as fh:
+        out = json.load(fh)
+    out["floor_netted_headline"] = net_floor(out["stages"])
+
+    for path in secondaries:
+        with open(path) as fh:
+            sec = json.load(fh)
+        key = f"secondary_size_convs{sec['convs']}"
+        out[key] = {k: sec[k] for k in SECONDARY_KEYS if k in sec}
+        out[key + "_floor_netted"] = net_floor(sec["stages"])
+
+    probe = os.path.join(ROOT, "artifacts", "probe_hw_now.json")
+    if os.path.exists(probe):
+        with open(probe) as fh:
+            out["kernel_probe"] = json.load(fh)
+    else:
+        print(f"WARNING: kernel probe missing at {probe}", file=sys.stderr)
+
+    vps = sorted(
+        f
+        for f in os.listdir(os.path.join(ROOT, "artifacts"))
+        if f.startswith("probe_verify_mp_")
+    )
+    if vps:
+        with open(os.path.join(ROOT, "artifacts", vps[-1])) as fh:
+            vp = json.load(fh)
+        out["verify_mp_probe"] = {
+            k: vp[k]
+            for k in (
+                "convs", "n_pairs", "repeats",
+                "bare_best_4", "bare_best_16", "bare_efficiency_4_to_16",
+                "bare_spread_16",
+                "spark_stage_best_4", "spark_stage_best_16",
+                "spark_stage_efficiency_4_to_16", "spark_stage_spread_16",
+            )
+            if k in vp
         }
 
-    out["floor_netted_24k"] = net_floor(out["stages"])
-    sec = out.get("secondary_size_convs40000")
-    if sec:
-        out["floor_netted_40k"] = net_floor(sec["stages"])
+    # smaller-size history (round-4 artifacts, pre-r5 plan changes) --
+    # kept as the efficiency-vs-size trend line, clearly labeled
+    history = {}
+    for name, label in (
+        ("BENCH_SCALING_40k.json", "convs40000_r4_code"),
+        ("BENCH_SCALING_24k.json", "convs24000_r4_code"),
+    ):
+        p = os.path.join(ROOT, name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                d = json.load(fh)
+            history[label] = {
+                "scaling_efficiency": d.get("scaling_efficiency"),
+                "repeats": d.get("repeats"),
+                "pipeline_secs_small_all": d.get("pipeline_secs_small_all"),
+                "pipeline_secs_big_all": d.get("pipeline_secs_big_all"),
+            }
+    if history:
+        out["smaller_size_history"] = history
 
-    out["notes"] = (
-        "Round 4, post-join-pin code with the positional-window containment "
-        "recall fix INCLUDED in the measured pipeline. N=4 vs 4N=16 cores "
-        "(task brief: 'N and 4N cores'; PROBE_HW_CEILING/kernel_probe shows "
-        "the host's 8->32 region caps at 0.59-0.71 with zero Spark, while "
-        "4->16 stays at 0.85-1.03 for the Levenshtein kernel and 0.85 for "
-        "MinHash). Headline campaign: 3 interleaved repeats, ParallelGC, "
-        "per-core-constant driver heap (3 GB/core). Two same-commit "
-        "sensitivity campaigns (sensitivity_campaigns_24k) bracket the "
-        "methodology: 9 total repeats per level at 24k. The 40k secondary "
-        "size is measured on the SAME commit as the headline (closing the "
-        "r3 'pinned after measurement' caveat). Fixed-floor attribution: "
-        "footer+commit are <0.2s; the floor stages' 1-5s at both levels is "
-        "Spark job scheduling/AQE planning per stage (see "
-        "stage_breakdown_*), size-independent and irrelevant at the "
-        "10^12-turn target; floor_netted_* reports compute-stage-only "
-        "efficiency. Known residuals, quantified in stages: the "
-        "positional-window containment stage (new this round, +64s/+35s "
-        "at 4/16 cores vs r3) and a bimodal verified_pairs slow mode at "
-        "local[16] (bimodality visible in pipeline_secs_big_all across "
-        "campaigns); both are instrumented via SPARK_GRAFT_PHASE_TIMING "
-        "sub-phase timers for next-round attribution."
-    )
-    with open(path, "w") as fh:
+    notes = os.path.join(ROOT, "artifacts", "scaling_notes.txt")
+    if os.path.exists(notes):
+        with open(notes) as fh:
+            out["notes"] = fh.read().strip()
+
+    dst = os.path.join(ROOT, "BENCH_SCALING.json")
+    with open(dst, "w") as fh:
         json.dump(out, fh, indent=1)
 
-    print("headline 24k:", out["scaling_efficiency"], "stage_sum:",
-          out["scaling_efficiency_stage_sum"])
-    print("floor-netted 24k:", out["floor_netted_24k"])
-    if sec:
-        print("40k:", sec["scaling_efficiency"], "stage_sum:",
-              sec.get("scaling_efficiency_stage_sum"))
-        print("floor-netted 40k:", out["floor_netted_40k"])
-        print("40k stages:")
-        for st, v in sec["stages"].items():
-            print("  ", st, v)
+    print("headline:", out.get("convs"), "convs, efficiency",
+          out["scaling_efficiency"], "stage_sum",
+          out.get("scaling_efficiency_stage_sum"))
+    print("floor-netted:", out["floor_netted_headline"])
+    for k in sorted(out):
+        if k.startswith("secondary_size_convs") and not k.endswith("_floor_netted"):
+            print(k, "efficiency", out[k]["scaling_efficiency"],
+                  "stage_sum", out[k].get("scaling_efficiency_stage_sum"))
+    print("stages (headline):")
+    for st, v in out["stages"].items():
+        print("  ", st, v)
 
 
 if __name__ == "__main__":
