@@ -276,6 +276,22 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_word_count_vectors(spark, sf_dir):
+    """P6 truth-word document-count vectors
+    (/root/reference/doppelspeller/feature_engineering.py:309-319),
+    exploded to (doc_id, slot, word_count) rows so the oracle compare
+    needs no array-representation canonicalization."""
+    from dedup.operators.features import truth_word_count_vectors
+
+    d = _docs(spark, sf_dir)
+    vecs = truth_word_count_vectors(
+        d.select("doc_id", "text"), id_col="doc_id", title_col="text"
+    )
+    return vecs.select(
+        "doc_id", F.posexplode("wc_vec").alias("slot", "word_count")
+    ).select("doc_id", F.col("slot").cast("int").alias("slot"), "word_count")
+
+
 def q_knn(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": _draining(q_grouped_topk),
         "text_stats": _draining(q_text_stats),
         "quality_lang": _draining(q_quality),
+        "word_count_vectors": _draining(q_word_count_vectors),
         "knn_cosine_topk": _draining(q_knn),
         "minhash_lsh_candidates": _draining(q_minhash_candidates),
         "simhash_pairs": _draining(q_simhash_pairs),
@@ -708,6 +725,28 @@ def oracle_sql() -> dict[str, str]:
               from lineitem
             )
             select l_orderkey, l_linenumber, l_extendedprice from ranked where rn <= 3
+        """,
+        "word_count_vectors": """
+            with toks_l as (
+              select doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') as fl
+              from documents
+            ), toks as (
+              select doc_id, unnest(fl) as word,
+                     generate_subscripts(fl, 1) - 1 as pos
+              from toks_l
+            ), wc as (
+              select word, count(*) as c from toks group by word
+            ), hits as (
+              select toks.doc_id, toks.pos, wc.c
+              from toks join wc using (word)
+              where toks.pos < 15
+            )
+            select d.doc_id, cast(r.range as int) as slot,
+                   coalesce(h.c, 0) as word_count
+            from documents d
+            cross join range(0, 15) r
+            left join hits h on h.doc_id = d.doc_id and h.pos = r.range
         """,
         "text_stats": """
             select doc_id,

@@ -105,20 +105,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "match-titles":
         from dedup.io import (
-            TEST_MAPPING,
-            TRUTH_MAPPING,
-            read_titles_csv,
+            read_ground_truth,
+            read_test_queries,
             write_predictions_csv,
         )
         from dedup.operators.match import match_titles
 
-        def load(path, mapping):
+        def load(path, reader):
             if path.endswith(".csv") or path.endswith(".csv.gz"):
-                return read_titles_csv(spark, path, mapping, args.delimiter)
+                return reader(spark, path, delimiter=args.delimiter)
             return spark.read.parquet(path)
 
-        truth = load(args.truth, TRUTH_MAPPING)
-        queries = load(args.queries, TEST_MAPPING)
+        truth = load(args.truth, read_ground_truth)
+        queries = load(args.queries, read_test_queries)
         preds = match_titles(queries.select("query_id", "title"), truth, config)
         write_predictions_csv(preds, args.out, args.delimiter)
         result = {"out": args.out, "queries": queries.count()}

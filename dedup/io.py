@@ -22,10 +22,24 @@ def read_titles_csv(
     path: str,
     column_mapping: list[tuple[str, tuple[str, str]]],
     delimiter: str = "|",
+    required_keys: list[str] | None = None,
 ) -> DataFrame:
     """``column_mapping`` = [(internal_name, (source_column, spark_type))],
     the shape of the reference's ``*_COLUMNS_MAPPING`` lists
-    (/root/reference/doppelspeller/settings.py:20-23,28-32,40-43)."""
+    (/root/reference/doppelspeller/settings.py:20-23,28-32,40-43).
+
+    ``required_keys``: when given, the mapping's internal keys must equal
+    this list EXACTLY (same names, same order) -- the reference's loader
+    key-order audit (/root/reference/doppelspeller/common.py:78-81,
+    94-97,110-113), which guards downstream positional consumers against
+    a silently reordered settings edit."""
+    if required_keys is not None:
+        keys = [internal for internal, _ in column_mapping]
+        if keys != list(required_keys):
+            raise ValueError(
+                f"column_mapping keys {keys} must exactly match the "
+                f"required key order {list(required_keys)}"
+            )
     df = spark.read.csv(path, sep=delimiter, header=True, inferSchema=False)
     missing = [src for _, (src, _) in column_mapping if src not in df.columns]
     if missing:
@@ -43,6 +57,37 @@ def read_titles_csv(
 
 TRUTH_MAPPING = [("title_id", ("company_id", "long")), ("title", ("name", "string"))]
 TEST_MAPPING = [("query_id", ("test_index", "long")), ("title", ("name", "string"))]
+
+# fixed key orders the typed loaders audit user-supplied mappings against,
+# mirroring required_columns_in_mapping in the reference's
+# get_ground_truth/get_test_data (common.py:78-81,110-113)
+REQUIRED_TRUTH_KEYS = ["title_id", "title"]
+REQUIRED_TEST_KEYS = ["query_id", "title"]
+
+
+def read_ground_truth(
+    spark: SparkSession,
+    path: str,
+    column_mapping: list[tuple[str, tuple[str, str]]] = TRUTH_MAPPING,
+    delimiter: str = "|",
+) -> DataFrame:
+    """Typed truth loader: the mapping (user-configurable, like the
+    reference's settings.py lists) must yield exactly (title_id, title)."""
+    return read_titles_csv(
+        spark, path, column_mapping, delimiter, required_keys=REQUIRED_TRUTH_KEYS
+    )
+
+
+def read_test_queries(
+    spark: SparkSession,
+    path: str,
+    column_mapping: list[tuple[str, tuple[str, str]]] = TEST_MAPPING,
+    delimiter: str = "|",
+) -> DataFrame:
+    """Typed query loader: mapping must yield exactly (query_id, title)."""
+    return read_titles_csv(
+        spark, path, column_mapping, delimiter, required_keys=REQUIRED_TEST_KEYS
+    )
 
 
 def write_predictions_csv(

@@ -25,6 +25,24 @@ def test_read_titles_csv_validates_columns(spark, tmp_path):
         read_titles_csv(spark, str(p), TRUTH_MAPPING, delimiter="|")
 
 
+def test_typed_loader_key_order_audit(spark, tmp_path):
+    """S2 key-order audit (reference common.py:78-81): a mapping whose
+    internal keys are renamed or reordered must fail loudly BEFORE any
+    read, regardless of the file's actual columns."""
+    from dedup.io import read_ground_truth, read_test_queries
+
+    p = tmp_path / "truth.csv"
+    p.write_text("company_id|name\n7|Acme Corp\n")
+    ok = read_ground_truth(spark, str(p))
+    assert {r["title_id"] for r in ok.collect()} == {7}
+    reordered = [("title", ("name", "string")), ("title_id", ("company_id", "long"))]
+    with pytest.raises(ValueError, match="required key order"):
+        read_ground_truth(spark, str(p), column_mapping=reordered)
+    renamed = [("query_idx", ("test_index", "long")), ("title", ("name", "string"))]
+    with pytest.raises(ValueError, match="required key order"):
+        read_test_queries(spark, str(p), column_mapping=renamed)
+
+
 def test_write_predictions_csv_sorted(spark, tmp_path):
     df = spark.createDataFrame(
         [(3, 30), (1, 10), (2, -1)], "query_id long, title_id long"
