@@ -239,6 +239,81 @@ def block_minhash_udf(
     return _blocks(c)
 
 
+def byte_kgram_codes(text: str, k: int) -> np.ndarray:
+    """Positional k-gram sequence of ``text`` as exact big-endian byte
+    codes (int64, < 2^(8k)): element i is the k bytes of the UTF-8
+    encoding starting at byte i. For ASCII text this is exactly the char
+    k-gram sequence with a COLLISION-FREE encoding; for multibyte UTF-8 it
+    is byte-grams -- equally valid span evidence since both sides of a
+    shared span encode identically. Replaces the interpreted
+    transform(substr)+xxhash64 chain (measured 92s of the containment
+    stage at 64k convs / local[16]): the gram values only ever feed the
+    MinHash permutation field, so any deterministic injective-enough
+    encoding works and the 3-byte pack is free next to a hash."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(b) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    out = b[:n].astype(np.int64)
+    for j in range(1, k):
+        out <<= 8
+        np.bitwise_or(out, b[j : j + n], out=out)
+    return out
+
+
+def block_minhash_text_udf(
+    text: Column | str, stride: int, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """Normalized TEXT -> array<array<bigint>>: one MinHash signature per
+    non-overlapping ``stride``-gram block of the positional byte-k-gram
+    sequence (see byte_kgram_codes; block semantics as block_minhash_udf).
+
+    Fuses shingling INTO the sketch UDF: the positional gram array never
+    materializes as a Spark column, so (a) the interpreted higher-order
+    transform(substr(..)) + xxhash64 chain -- which ran OUTSIDE codegen at
+    ~7us/gram and dominated the containment stage's wall (c_pos_hashes,
+    92.6s of the stage's ~200s at 64k convs / local[16]) -- disappears,
+    and (b) Arrow ships the ~1x text bytes instead of the 8x positional
+    int64 array. The numpy 3-shift gram pack is memory-bandwidth-trivial
+    next to the 128-permutation kernel that follows it."""
+    a_params, b_params = config.perm_params()
+    num_perm = config.num_perm
+    k = config.k_shingle
+    s = int(stride)
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def _blocks(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs: list[np.ndarray] = []
+        seg_sizes: list[int] = []
+        row_nblocks = np.zeros(n, dtype=np.int64)
+        for r_i, v in enumerate(texts):
+            if v is None:
+                continue
+            a = byte_kgram_codes(v, k)
+            if len(a) == 0:
+                continue
+            nb = (len(a) + s - 1) // s
+            row_nblocks[r_i] = nb
+            arrs.append(a)
+            seg_sizes.extend([s] * (nb - 1))
+            seg_sizes.append(len(a) - s * (nb - 1))
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        sizes = np.asarray(seg_sizes, dtype=np.int64)
+        sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm)
+        out: list[list] = []
+        pos = 0
+        for nb in row_nblocks:
+            out.append([sigs[pos + j] for j in range(nb)])
+            pos += nb
+        return pd.Series(out, dtype=object)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _blocks(c)
+
+
 def band_hashes_col(
     signature: Column | str, config: DedupConfig = DEFAULT_CONFIG
 ) -> Column:
@@ -292,43 +367,146 @@ def simhash_udf(
         sizes = np.fromiter(
             (0 if v is None else len(v) for v in batches), dtype=np.int64, count=n
         )
-        out = np.zeros(n, dtype=np.int64)
-        start = 0
-        while start < n:
-            stop = start + 1
-            total = int(sizes[start])
-            while stop < n and total + sizes[stop] <= _SIMHASH_CHUNK_GRAMS:
-                total += int(sizes[stop])
-                stop += 1
-            csizes = sizes[start:stop]
-            nonempty = csizes > 0
-            if nonempty.any():
-                flat = np.concatenate(
-                    [
-                        np.asarray(v, dtype=np.int64)
-                        for v in batches.iloc[start:stop]
-                        if v is not None and len(v)
-                    ]
-                ).view(np.uint64)
-                # (G, 64) bit matrix; bitorder='little' makes column j the
-                # coefficient of 2^j, matching the shift-based definition.
-                bits = np.unpackbits(
-                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                )
-                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-                np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
-                # dtype=int64: accumulating uint8 bits would wrap at 256 grams
-                ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
-                votes_pos = (2 * ones) > csizes[nonempty][:, None]
-                words = np.packbits(votes_pos, axis=1, bitorder="little")
-                out[start:stop][nonempty] = (
-                    words.copy().view(np.uint64).ravel().view(np.int64)
-                )
-            start = stop
-        return pd.Series(out)
+        arrs = [
+            np.asarray(v, dtype=np.int64)
+            for v in batches
+            if v is not None and len(v)
+        ]
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        return pd.Series(_simhash_vector(sizes, flat))
 
     c = F.col(gram_hashes) if isinstance(gram_hashes, str) else gram_hashes
     return _simhash(c)
+
+
+def _simhash_vector(sizes: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Segment SimHash kernel: ``sizes[i]`` gram hashes per doc, ``flat``
+    their int64 values concatenated in order -> int64 simhash per doc
+    (0 for empty docs). Chunked so the G x 64 bit matrix stays
+    cache-resident (see _SIMHASH_CHUNK_GRAMS)."""
+    n = len(sizes)
+    out = np.zeros(n, dtype=np.int64)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    start = 0
+    while start < n:
+        stop = start + 1
+        total = int(sizes[start])
+        while stop < n and total + sizes[stop] <= _SIMHASH_CHUNK_GRAMS:
+            total += int(sizes[stop])
+            stop += 1
+        csizes = sizes[start:stop]
+        nonempty = csizes > 0
+        if nonempty.any():
+            cflat = flat[bounds[start] : bounds[stop]].view(np.uint64)
+            # (G, 64) bit matrix; bitorder='little' makes column j the
+            # coefficient of 2^j, matching the shift-based definition.
+            bits = np.unpackbits(
+                cflat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(csizes[nonempty][:-1], out=offsets[1:])
+            # dtype=int64: accumulating uint8 bits would wrap at 256 grams
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            votes_pos = (2 * ones) > csizes[nonempty][:, None]
+            words = np.packbits(votes_pos, axis=1, bitorder="little")
+            out[start:stop][nonempty] = (
+                words.copy().view(np.uint64).ravel().view(np.int64)
+            )
+        start = stop
+    return out
+
+
+# splitmix64 finalizer constants (public domain, Steele et al. / xorshift
+# literature): an invertible uint64 mix, so distinct gram codes stay
+# distinct (gram-set Jaccard is EXACTLY preserved) while all 64 output
+# bits are well-distributed (SimHash votes need high bits; raw k-byte
+# codes only populate 8k low bits).
+_SM64_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (bijective on uint64)."""
+    v = v.astype(np.uint64)
+    v = v ^ (v >> np.uint64(30))
+    v = v * _SM64_C1
+    v = v ^ (v >> np.uint64(27))
+    v = v * _SM64_C2
+    v = v ^ (v >> np.uint64(31))
+    return v
+
+
+def doc_sketch_udf(
+    text: Column | str, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """Normalized TEXT -> struct(gram_hashes array<bigint>,
+    minhash array<bigint>, simhash bigint): the whole per-doc sketch
+    pipeline in ONE Arrow round trip.
+
+    Fuses shingling into the sketch UDF (same move as
+    block_minhash_text_udf, which removed 92.6s/stage at 64k convs):
+    positional byte-k-gram codes (byte_kgram_codes) -> np.unique for the
+    distinct gram set -> splitmix64 bijection for 64-bit-spread gram ids
+    -> MinHash + SimHash kernels over the same flat vector. The
+    interpreted transform(substr)+xxhash64+array_distinct chain the
+    prepared stage previously ran JVM-side (~7us/gram, outside codegen)
+    disappears, and the gram array crosses the Python boundary once
+    (outbound) instead of twice inbound (MinHash UDF + SimHash UDF).
+
+    Values: gram_hashes are mixed byte-gram codes, not xxhash64 of gram
+    strings -- a bijection of the doc's distinct k-gram set, so every
+    set-level consumer (exact Jaccard, containment |S∩L|/|S|, n_grams)
+    computes identical numbers for ASCII text; MinHash/SimHash/LSH keys
+    change hash family, which is statistically neutral (tests assert
+    planted recall, and the dup_pairs_jaccard oracle equality holds
+    because the verified output depends only on exact Jaccard)."""
+    from pyspark.sql.types import StructField, StructType
+
+    a_params, b_params = config.perm_params()
+    num_perm = config.num_perm
+    k = config.k_shingle
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("gram_hashes", ArrayType(LongType())),
+                StructField("minhash", ArrayType(LongType())),
+                StructField("simhash", LongType()),
+            ]
+        )
+    )
+    def _sketch(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        if n == 0:
+            return pd.DataFrame(
+                {"gram_hashes": [], "minhash": [], "simhash": []}
+            )
+        grams: list[np.ndarray] = []
+        sizes = np.zeros(n, dtype=np.int64)
+        for r_i, v in enumerate(texts):
+            if v is None:
+                grams.append(np.empty(0, dtype=np.int64))
+                continue
+            u = np.unique(byte_kgram_codes(v, k))
+            h = _mix64(u).view(np.int64)
+            grams.append(h)
+            sizes[r_i] = len(h)
+        flat = (
+            np.concatenate(grams) if len(grams) else np.empty(0, dtype=np.int64)
+        )
+        sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm)
+        sims = _simhash_vector(sizes, flat)
+        return pd.DataFrame(
+            {
+                "gram_hashes": [g.tolist() for g in grams],
+                "minhash": list(sigs),
+                "simhash": sims,
+            }
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _sketch(c)
 
 
 def hamming_col(a: Column | str, b: Column | str) -> Column:

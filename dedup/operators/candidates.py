@@ -34,8 +34,7 @@ import pyspark.sql.functions as F
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
 from dedup.functions.normalize import normalize_text_col, normalize_ascii_col
-from dedup.functions.shingle import char_ngrams_col, gram_hashes_col
-from dedup.functions.sketch import minhash_signature_udf, band_hashes_col, simhash_udf
+from dedup.functions.sketch import band_hashes_col, doc_sketch_udf
 from dedup.phasetimer import phase
 from dedup.tracking import register
 
@@ -60,25 +59,23 @@ def prepare_docs(
     # (a checkpointed assembled table is a handful of parquet files):
     # repartition explicitly or the whole stage runs in 1-2 tasks.
     docs = docs.repartition(config.conv_partitions, id_col)
-    out = (
-        docs.withColumn("norm_text", norm)
-        .withColumn(
-            "gram_hashes",
-            gram_hashes_col(char_ngrams_col("norm_text", config.k_shingle)),
-        )
-        .withColumn("minhash", minhash_signature_udf("gram_hashes", config))
-        .withColumn("simhash", simhash_udf("gram_hashes", config))
+    # Shingle + distinct + gram-hash + MinHash + SimHash run FUSED inside
+    # one Arrow round trip (doc_sketch_udf): the interpreted
+    # transform(substr)+xxhash64+array_distinct chain this stage previously
+    # ran JVM-side was ~half its wall time at 64k convs, and the gram
+    # array now crosses the Python boundary once instead of three times.
+    # gram_hashes values are a BIJECTION of the distinct gram set (mixed
+    # byte-gram codes), so every set-level consumer (exact Jaccard,
+    # containment score, n_grams) is value-identical for ASCII text.
+    out = docs.withColumn("norm_text", norm).withColumn(
+        "sk", doc_sketch_udf("norm_text", config)
     )
-    # NOTE: the string gram arrays are deliberately NOT materialized -- all
-    # downstream consumers (LSH, estimate gate, exact-Jaccard verify) work
-    # on the 64-bit gram hashes; that halves checkpoint width and removes
-    # two duplicate evaluations of the shingling expression.
     return out.select(
         F.col(id_col).alias("doc_id"),
         "norm_text",
-        "gram_hashes",
-        "minhash",
-        "simhash",
+        F.col("sk.gram_hashes").alias("gram_hashes"),
+        F.col("sk.minhash").alias("minhash"),
+        F.col("sk.simhash").alias("simhash"),
     )
 
 
@@ -152,42 +149,68 @@ def candidate_pairs(
     )
     ok = groups.filter(F.col("gsz") <= config.max_band_group)
 
-    # Cool groups (the bulk): pair fan-out is local array math on the
+    # FAMILY COLLAPSE before any pair fan-out: near-dup clusters (and
+    # boilerplate families) produce the IDENTICAL sorted id list in many
+    # of the 32 bands -- fanning each band's group into pairs shuffles the
+    # same gsz^2/2 pair rows up to 32x. Collapsing groups on the member
+    # list first (one byte-small groupBy over collision groups, counting
+    # the bands each family occupies) emits every family's pairs ONCE,
+    # weighted by n_bands; the final per-pair aggregate then SUMS weights,
+    # which is arithmetically identical to counting raw band collisions
+    # (each colliding group contributes exactly its band multiplicity).
+    # Measured at 64k convs: the candidate job's pair shuffle was the
+    # stage's dominant, core-count-invariant cost -- shuffle-volume-bound,
+    # not CPU-bound, so shrinking the volume is what makes it scale.
+    fam = ok.groupBy("ids").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.min("gsz").alias("gsz"),  # gsz is a function of ids: min == the value
+    )
+
+    # Cool families (the bulk): pair fan-out is local array math on the
     # sorted id list -- no join, no shuffle, ids already ascending so
     # id_a < id_b holds by construction.
-    cool = ok.filter(F.col("gsz") <= config.salt_hot_threshold)
+    cool = fam.filter(F.col("gsz") <= config.salt_hot_threshold)
     cool_pairs = cool.select(
-        "gsz", F.explode(pair_structs(F.col("ids"))).alias("p")
-    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "gsz")
+        "gsz", "n_bands", F.explode(pair_structs(F.col("ids"))).alias("p")
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        "gsz",
+        "n_bands",
+    )
 
-    # Hot groups (the boilerplate tail) keep the SALTED self-join (the
+    # Hot families (the boilerplate tail) keep the SALTED self-join (the
     # north_rule skew defense): at cluster scale ``max_band_group`` may be
-    # raised to 10^4+, where a single group row's local fan-out (gsz^2/2
+    # raised to 10^4+, where a single family row's local fan-out (gsz^2/2
     # pairs in ONE task) would straggle -- the salted join spreads one hot
-    # band key over salt_buckets reducers instead. Probe side gets a
+    # family over salt_buckets reducers instead. Probe side gets a
     # deterministic salt bucket from its doc_id, build side explodes over
-    # all buckets, so shuffle volume stays ~1x for the cool slice.
-    hot = ok.filter(F.col("gsz") > config.salt_hot_threshold)
+    # all buckets, so shuffle volume stays ~1x for the cool slice. The
+    # family id is a hash of the member list (a collision would only merge
+    # two families' candidate sets -- extra pairs for verify, no loss).
+    hot = fam.filter(F.col("gsz") > config.salt_hot_threshold)
     hot_post = hot.select(
-        "band_idx", "band_hash", "gsz", F.explode("ids").alias("doc_id")
+        F.xxhash64("ids").alias("fam_id"),
+        "gsz",
+        "n_bands",
+        F.explode("ids").alias("doc_id"),
     )
     n_salt = config.salt_buckets
     hot_left = hot_post.select(
-        "band_idx",
-        "band_hash",
+        "fam_id",
         F.col("doc_id").alias("id_a"),
         "gsz",
+        "n_bands",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("bigint").alias("salt"),
     )
     hot_right = hot_post.select(
-        "band_idx",
-        "band_hash",
+        "fam_id",
         F.col("doc_id").alias("id_b"),
         F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(n_salt - 1).cast("bigint"))).alias("salt"),
     )
     hot_pairs = hot_left.join(
-        hot_right, on=["band_idx", "band_hash", "salt"], how="inner"
-    ).select("id_a", "id_b", "gsz")
+        hot_right, on=["fam_id", "salt"], how="inner"
+    ).select("id_a", "id_b", "gsz", "n_bands")
 
     # Band-hit counting replaces a plain pair dedup (same discipline as the
     # containment path): a true J >= threshold pair collides in >= 2 of the
@@ -202,7 +225,7 @@ def candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))  # hot join emits unordered pairs
         .groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("band_hits"),
+            F.sum("n_bands").alias("band_hits"),
             F.min("gsz").alias("min_gsz"),
         )
         .filter(

@@ -35,8 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
-from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
-from dedup.functions.sketch import band_hashes_col, block_minhash_udf
+from dedup.functions.sketch import band_hashes_col, block_minhash_text_udf
 from dedup.operators.candidates import pair_structs
 from dedup.phasetimer import phase
 from dedup.tracking import register
@@ -174,7 +173,7 @@ def containment_candidates(
 
     EVERY doc is windowed uniformly (window W grams, stride s = W/2; docs
     shorter than W emit one whole-doc window), each window gets its own
-    MinHash (composed from per-block sketches -- see block_minhash_udf)
+    MinHash (composed from per-block sketches -- see block_minhash_text_udf)
     + native band hashes, and windows meet on band keys exactly like the
     ordinary LSH path. Windows slice the POSITIONAL gram sequence
     (duplicates preserved): element i is the gram at char i, so a span
@@ -195,29 +194,25 @@ def containment_candidates(
     oversized WINDOW group is per-span boilerplate that the whole-doc tier
     already links transitively)."""
     s = config.containment_stride
-    # MATERIALIZE the positional hash array before sketching: computing it
-    # inline would splice the shingle+xxhash chain into the block UDF's
-    # input projection and (higher-order functions being interpreted, with
-    # no codegen subexpression elimination) risk re-evaluation per
-    # consumer (measured ~12x on the r3 window-slicing plan). The persist
-    # is consumed exactly once and drained by the tracker after the stage.
-    pos_df = phase(
-        "c_pos_hashes",
-        lambda: prepared.select(
-            F.col("doc_id").alias("id"),
-            F.size("gram_hashes").alias("n_grams"),
-            gram_hashes_col(
-                char_ngrams_positional_col("norm_text", config.k_shingle)
-            ).alias("pos_hashes"),
-        ).filter(
-            # a doc under the min-grams gate can never survive verification
-            # as the short side, and (having fewer distinct grams than any
-            # gated short) can never be the long side either -- skip it
-            F.col("n_grams") >= config.containment_min_grams
-        ).persist(),
-        count=True,
+    # Shingling is FUSED into the block-sketch UDF (block_minhash_text_udf
+    # computes positional byte-k-gram codes from norm_text in numpy): the
+    # positional gram array never exists as a Spark column, so the
+    # interpreted transform(substr)+xxhash64 chain -- 92.6s of this
+    # stage's ~200s at 64k convs / local[16], plus a persist barrier --
+    # is gone, and Arrow ships text bytes instead of 8-byte-per-gram
+    # arrays. ``n_grams`` (DISTINCT gram count, for the short/long
+    # ordering and the min-grams gate) still comes from the prepared
+    # table's materialized gram_hashes -- a native size(), no reshingle.
+    docs = prepared.select(
+        F.col("doc_id").alias("id"),
+        F.size("gram_hashes").alias("n_grams"),
+        "norm_text",
+    ).filter(
+        # a doc under the min-grams gate can never survive verification
+        # as the short side, and (having fewer distinct grams than any
+        # gated short) can never be the long side either -- skip it
+        F.col("n_grams") >= config.containment_min_grams
     )
-    register(pos_df, tracker)
     # Per-BLOCK MinHash (non-overlapping stride-gram segments), composed
     # into per-window signatures JVM-side: with w == 2*s (enforced by
     # DedupConfig) window i covers exactly blocks i and i+1, and MinHash of
@@ -225,11 +220,11 @@ def containment_candidates(
     # zip_with(least) over adjacent block signatures yields BIT-IDENTICAL
     # window signatures (hence identical band keys and candidates) to
     # sketching each overlapping window slice directly, at half the UDF
-    # gram work and half the Arrow transfer (see block_minhash_udf).
-    blk = pos_df.select(
+    # gram work and half the Arrow transfer (see block_minhash_text_udf).
+    blk = docs.select(
         "id",
         "n_grams",
-        block_minhash_udf("pos_hashes", s, config).alias("blk_sigs"),
+        block_minhash_text_udf("norm_text", s, config).alias("blk_sigs"),
     )
     windows = blk.select(
         "id",
@@ -265,14 +260,28 @@ def containment_candidates(
         "band_idx", "band_hash", F.col("gsz").alias("group_size")
     )
     ok = groups.filter(F.col("gsz") <= config.containment_max_band_group)
+    # FAMILY COLLAPSE (same move as candidate_pairs): an aligned window
+    # pair -- exactly aligned spans above all -- collides with the same
+    # member list in MANY of the 32 bands; fanning each band group into
+    # pairs shuffles the same rows up to 32x. Collapse on the member list
+    # first, emit each family's pairs once weighted by its band count, and
+    # SUM the weights per pair -- identical band_hits arithmetic, a
+    # fraction of the shuffle volume.
+    fam = ok.groupBy("mem").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.min("gsz").alias("gsz"),
+    )
     raw = (
-        ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
+        fam.select(
+            "gsz", "n_bands", F.explode(pair_structs(F.col("mem"))).alias("p")
+        )
         .select(
             F.col("p.id_a.id").alias("id_a"),
             F.col("p.id_a.n_grams").alias("na"),
             F.col("p.id_b.id").alias("id_b"),
             F.col("p.id_b.n_grams").alias("nb"),
             "gsz",
+            "n_bands",
         )
         .filter(F.col("id_a") < F.col("id_b"))  # drop same-doc window pairs
     )
@@ -285,6 +294,7 @@ def containment_candidates(
             .otherwise(F.col("id_a"))
             .alias("id_long"),
             "gsz",
+            "n_bands",
         )
         # band-hit counting replaces a plain dedup, but the noise filter is
         # CONDITIONAL on collision-group size: a pair whose best collision
@@ -295,7 +305,7 @@ def containment_candidates(
         # clear containment_min_band_hits.
         .groupBy("id_short", "id_long")
         .agg(
-            F.count(F.lit(1)).alias("band_hits"),
+            F.sum("n_bands").alias("band_hits"),
             F.min("gsz").alias("min_gsz"),
         )
         .filter(

@@ -54,8 +54,11 @@ def test_block_composed_window_sigs_match_direct_slicing(spark, config):
     adjacent block sketches (min of MinHashes == MinHash of the union).
     This must be BIT-IDENTICAL to MinHashing each sliding window slice
     directly -- same signatures, hence same band keys and candidates."""
-    from dedup.functions.shingle import char_ngrams_positional_col, gram_hashes_col
-    from dedup.functions.sketch import block_minhash_udf, minhash_signature_udf
+    from dedup.functions.sketch import (
+        block_minhash_text_udf,
+        byte_kgram_codes,
+        minhash_signature_udf,
+    )
     from dedup.operators.containment import _window_slices, window_sigs_col
 
     rng = random.Random(11)
@@ -65,10 +68,13 @@ def test_block_composed_window_sigs_match_direct_slicing(spark, config):
     # == window, just past, mid-block tail, many blocks
     texts = [_random_text(rng, n) for n in (5, 8, 12, 16, 20, 33, 60, 150)]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
-    pos = df.select(
-        "id",
-        gram_hashes_col(char_ngrams_positional_col("t", cfg.k_shingle)).alias("ph"),
-    ).cache()
+    # direct path: the SAME positional byte-gram code sequence the fused
+    # UDF builds internally, sliced into overlapping windows and MinHashed
+    # per window slice
+    pos = spark.createDataFrame(
+        [(i, [int(c) for c in byte_kgram_codes(t, cfg.k_shingle)]) for i, t in enumerate(texts)],
+        "id int, ph array<bigint>",
+    )
     direct = pos.select(
         "id",
         F.posexplode(_window_slices(F.col("ph"), w, s)).alias("wi", "wh"),
@@ -76,7 +82,7 @@ def test_block_composed_window_sigs_match_direct_slicing(spark, config):
     # two-step select like the production plan: a Python-UDF output column
     # cannot be referenced inside a higher-order-function lambda directly
     composed = (
-        pos.select("id", block_minhash_udf("ph", s, cfg).alias("bs"))
+        df.select("id", block_minhash_text_udf("t", s, cfg).alias("bs"))
         .select("id", window_sigs_col("bs").alias("ws"))
         .select("id", F.posexplode("ws").alias("wi", "sig"))
     )
