@@ -409,6 +409,75 @@ def staged_levenshtein_ratio_col(
     )
 
 
+def _bigram_counts_py(s: str, bins: int = _BGV_BINS) -> np.ndarray:
+    """Byte-bigram count vector of one string (see byte_bigram_vector_udf
+    for the bound semantics)."""
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < 2:
+        return np.zeros(bins, dtype=np.int32)
+    big = (b[:-1].astype(np.uint32) << 8) | b[1:]
+    return np.bincount(big % bins, minlength=bins).astype(np.int32)
+
+
+def bigram_gated_staged_ratio_udf(
+    x: Column | str,
+    y: Column | str,
+    config: DedupConfig = DEFAULT_CONFIG,
+) -> Column:
+    """staged_levenshtein_ratio_col with the exact byte-bigram DP-admission
+    bound applied PAIR-SIDE inside the UDF: one unit indel changes <= 3
+    bigram counts, so L1(BG_a, BG_b) > 3 * dmax proves the direct ratio
+    can never clear the threshold, and the same bound over token-sorted
+    text proves it for the token-sort fallback -- a pair is DP'd only if
+    either path remains arithmetically possible (zero recall loss; gated
+    pairs return 0, below any threshold filter).
+
+    Pair-side, not doc-side: the doc-side variant (byte_bigram_vector_udf
+    joined onto both pair sides) shipped every doc's 256-int direct +
+    token-sorted vectors through two extra join exchanges to gate a pair
+    population that is already small after the narrow sketch gates --
+    two Python UDF passes over ALL docs plus two shuffles of ~2KB/doc to
+    save per-pair numpy work measured in microseconds. Counting bigrams
+    inside the DP UDF costs O(len) per pair (trivial next to one banded
+    DP row) and deletes both exchanges from the verify plan."""
+    thr = config.lev_threshold
+    frac = 1.0 - thr / 100.0
+
+    @F.pandas_udf(IntegerType())
+    def _gated(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.zeros(len(xs), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(xs.fillna(""), ys.fillna(""))):
+            la, lb = len(a), len(b)
+            total = la + lb
+            if total == 0:
+                out[i] = 100
+                continue
+            if ((total - abs(la - lb)) / total) * 100 < thr:
+                continue
+            direct_ok = (
+                int(np.abs(_bigram_counts_py(a) - _bigram_counts_py(b)).sum())
+                <= 3.0 * frac * total
+            )
+            if not direct_ok:
+                sa, sb = token_sort_py(a), token_sort_py(b)
+                ts_ok = (
+                    int(np.abs(_bigram_counts_py(sa) - _bigram_counts_py(sb)).sum())
+                    <= 3.0 * frac * (len(sa) + len(sb))
+                )
+                if not ts_ok:
+                    continue
+            out[i] = staged_ratio_py(a, b, thr)
+        return pd.Series(out)
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    # native deletion-ratio pre-gate + optimizer barrier, exactly like
+    # staged_levenshtein_ratio_col
+    return F.when(deletion_ratio_col(cx, cy) < F.lit(float(thr)), F.lit(0)).otherwise(
+        _gated.asNondeterministic()(cx, cy)
+    )
+
+
 def exact_jaccard_col(grams_a: Column | str, grams_b: Column | str) -> Column:
     """Plain set Jaccard on two shingle arrays -- native columns only.
     Works on the string grams or (faster) the xxhash64'd gram arrays; the

@@ -38,7 +38,6 @@ from dedup.functions.similarity import (
     char_count_vector_udf,
     exact_jaccard_col,
     minhash_estimate_col,
-    staged_levenshtein_ratio_col,
 )
 from dedup.functions.sketch import hamming_col
 from dedup.phasetimer import phase
@@ -79,12 +78,6 @@ def verify_pairs(
     thr = config.lev_threshold
 
     # ---- phase 1: narrow sketch join ----------------------------------
-    # The pair list is byte-small on disk (two ids per row) but drives
-    # CPU-heavy work (128-slot signature comparison per pair); a checkpoint
-    # re-read would arrive as 1-2 file partitions and serialize the whole
-    # phase. Repartition by pair key up front -- cheap shuffle, full
-    # parallelism, deterministic layout.
-    pairs = pairs.repartition(config.shuffle_partitions, "id_a", "id_b")
     # char-count vectors are a per-DOC sketch (64 ints): they power the
     # exact bag-distance lower bound on the pair side (bag_l1_col) that
     # keeps boilerplate-similar pairs out of the Levenshtein DP entirely.
@@ -136,19 +129,11 @@ def verify_pairs(
     # pairs needing ANY phase-2 work; everything else dies here. The
     # Levenshtein-path disjunct also requires the MinHash estimate floor
     # (cheap, already computed) -- exact gram math re-checks it in phase 2.
-    # localCheckpoint (eager), not persist: three downstream branches (jac,
-    # sketch-verified, lev) consume p1 inside ONE write job, and lazy cache
-    # population races between concurrent branch subtrees can recompute the
-    # whole phase-1 join per branch.
-    p1 = phase(
-        "v_p1_narrow_join",
-        lambda: p1.filter(
-            (F.col("est") >= F.lit(gate))
-            | sim_ok
-            | (del_ok & F.col("bag_ok") & (F.col("est") >= F.lit(config.lev_est_gate)))
-        ).localCheckpoint(),
+    p1 = p1.filter(
+        (F.col("est") >= F.lit(gate))
+        | sim_ok
+        | (del_ok & F.col("bag_ok") & (F.col("est") >= F.lit(config.lev_est_gate)))
     )
-    register(p1, tracker)
 
     # ---- phase 2a: exact Jaccard for estimate-gate survivors ----------
     ga, gb = _two_sided(
@@ -166,10 +151,18 @@ def verify_pairs(
         .withColumn("jaccard", exact_jaccard_col("gh_a", "gh_b"))
         .select("id_a", "id_b", "jaccard")
     )
-    # checkpoint again: both output branches (sketch-verified, lev) read
-    # ``scored``; leaving it lazy recomputes the jac join per branch.
+    # ONE checkpoint for the whole sketch-scoring cascade (was two: p1 and
+    # scored -- each an eager barrier whose wall cost measured FLAT across
+    # 4 vs 16 cores at 64k convs, i.e. pure per-stage floor). The p1
+    # subtree appears twice inside this single job (left side and under
+    # jac); its shuffle exchanges are identical subtrees and reused, so
+    # the duplicated work is only the narrow join probe + gate arithmetic.
+    # The checkpoint itself is still required: both output branches
+    # (sketch-verified, lev) consume ``scored``, and lazy cache population
+    # races between concurrent branch subtrees can recompute the whole
+    # cascade per branch.
     scored = phase(
-        "v_p2a_exact_jaccard",
+        "v_sketch_scored",
         lambda: p1.join(jac, ["id_a", "id_b"], "left")
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .localCheckpoint(),
@@ -179,52 +172,29 @@ def verify_pairs(
     jac_ok = F.col("jaccard") >= F.lit(config.jaccard_threshold)
 
     # ---- phase 2b: Levenshtein for pairs both sketches rejected -------
-    # DP admission is gated by EXACT byte-bigram lower bounds computed from
-    # NARROW per-doc columns (256-int count vectors -- never the fat gram
-    # arrays, never the texts): one unit indel changes <= 3 bigram counts,
-    # so L1(BG_a, BG_b) > 3 * dmax proves the direct ratio can never clear
-    # the threshold, and the same bound over TOKEN-SORTED text's bigrams
-    # proves it for the token-sort fallback. A pair is admitted only if
-    # EITHER path remains arithmetically possible -- zero recall loss.
-    # Unlike the unigram bag bound (which boilerplate-similar byte
-    # histograms pass wholesale -- measured 427k DP admissions with 0
-    # acceptances), bigrams see ORDER, so reworded boilerplate dies here.
-    from dedup.functions.similarity import (
-        bigram_l1_col,
-        byte_bigram_vector_udf,
-        token_sort_col,
-    )
+    # DP admission is gated by EXACT byte-bigram lower bounds computed
+    # PAIR-SIDE inside the staged UDF (bigram_gated_staged_ratio_udf): one
+    # unit indel changes <= 3 bigram counts, so L1 > 3 * dmax proves the
+    # direct ratio can never clear the threshold, and the same bound over
+    # TOKEN-SORTED text proves it for the token-sort fallback -- a pair is
+    # DP'd only if EITHER path remains arithmetically possible (zero
+    # recall loss). Unlike the unigram bag bound (which boilerplate-
+    # similar byte histograms pass wholesale -- measured 427k DP
+    # admissions with 0 acceptances), bigrams see ORDER, so reworded
+    # boilerplate dies here. The earlier doc-side variant joined 256-int
+    # vectors onto both pair sides -- two UDF passes over ALL docs plus
+    # two join exchanges to pre-gate a post-sketch pair population that is
+    # already small; pair-side counting costs O(len) per pair and deletes
+    # both exchanges from the plan.
+    from dedup.functions.similarity import bigram_gated_staged_ratio_udf
 
-    ts_text = token_sort_col("norm_text")
-    bgdocs = prepared.select(
-        "doc_id",
-        byte_bigram_vector_udf("norm_text").alias("bg"),
-        byte_bigram_vector_udf(ts_text).alias("bgs"),
-        F.length(ts_text).alias("ts_len"),
-    )
-    ba, bb = _two_sided(bgdocs, {"bg": "bg", "bgs": "bgs", "tslen": "ts_len"})
-    dmax = (F.col("len_a") + F.col("len_b")).cast("double") * F.lit(
-        1.0 - thr / 100.0
-    )
-    dmax_s = (F.col("tslen_a") + F.col("tslen_b")).cast("double") * F.lit(
-        1.0 - thr / 100.0
-    )
-    need_lev = (
-        scored.filter(
-            ~jac_ok
-            & ~sim_ok
-            & del_ok
-            & F.col("bag_ok")
-            & (F.col("est") >= F.lit(config.lev_est_gate))
-        )
-        .join(ba.hint("shuffle_hash"), "id_a")
-        .join(bb.hint("shuffle_hash"), "id_b")
-        .filter(
-            (bigram_l1_col("bg_a", "bg_b") <= F.lit(3.0) * dmax)
-            | (bigram_l1_col("bgs_a", "bgs_b") <= F.lit(3.0) * dmax_s)
-        )
-        .select("id_a", "id_b", "jaccard", "hamming")
-    )
+    need_lev = scored.filter(
+        ~jac_ok
+        & ~sim_ok
+        & del_ok
+        & F.col("bag_ok")
+        & (F.col("est") >= F.lit(config.lev_est_gate))
+    ).select("id_a", "id_b", "jaccard", "hamming")
     ta, tb = _two_sided(prepared.select("doc_id", "norm_text"), {"text": "norm_text"})
     lev = (
         need_lev.join(ta, "id_a")
@@ -233,7 +203,7 @@ def verify_pairs(
         # AQE's size-based coalescing cannot serialize it onto one task
         .repartition(config.lev_partitions)
         .withColumn(
-            "lev_ratio", staged_levenshtein_ratio_col("text_a", "text_b", config)
+            "lev_ratio", bigram_gated_staged_ratio_udf("text_a", "text_b", config)
         )
         .filter(F.col("lev_ratio") > F.lit(thr))
         .select(
