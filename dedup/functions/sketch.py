@@ -447,20 +447,21 @@ def doc_sketch_udf(
     Fuses shingling into the sketch UDF (same move as
     block_minhash_text_udf, which removed 92.6s/stage at 64k convs):
     positional byte-k-gram codes (byte_kgram_codes) -> np.unique for the
-    distinct gram set -> splitmix64 bijection for 64-bit-spread gram ids
-    -> MinHash + SimHash kernels over the same flat vector. The
+    distinct gram set -> MinHash over the raw codes + SimHash over their
+    splitmix64-mixed view, all from one flat vector. The
     interpreted transform(substr)+xxhash64+array_distinct chain the
     prepared stage previously ran JVM-side (~7us/gram, outside codegen)
     disappears, and the gram array crosses the Python boundary once
     (outbound) instead of twice inbound (MinHash UDF + SimHash UDF).
 
-    Values: gram_hashes are mixed byte-gram codes, not xxhash64 of gram
-    strings -- a bijection of the doc's distinct k-gram set, so every
-    set-level consumer (exact Jaccard, containment |S∩L|/|S|, n_grams)
-    computes identical numbers for ASCII text; MinHash/SimHash/LSH keys
-    change hash family, which is statistically neutral (tests assert
-    planted recall, and the dup_pairs_jaccard oracle equality holds
-    because the verified output depends only on exact Jaccard)."""
+    Values: gram_hashes are raw byte-gram codes, not xxhash64 of gram
+    strings -- a collision-free encoding of the doc's distinct k-gram
+    set, so every set-level consumer (exact Jaccard, containment
+    |S∩L|/|S|, n_grams) computes identical numbers for ASCII text;
+    MinHash/SimHash/LSH keys change hash family, which is statistically
+    neutral (tests assert planted recall, and the dup_pairs_jaccard
+    oracle equality holds because the verified output depends only on
+    exact Jaccard)."""
     from pyspark.sql.types import StructField, StructType
 
     a_params, b_params = config.perm_params()
@@ -489,14 +490,23 @@ def doc_sketch_udf(
                 grams.append(np.empty(0, dtype=np.int64))
                 continue
             u = np.unique(byte_kgram_codes(v, k))
-            h = _mix64(u).view(np.int64)
-            grams.append(h)
-            sizes[r_i] = len(h)
+            grams.append(u)
+            sizes[r_i] = len(u)
         flat = (
             np.concatenate(grams) if len(grams) else np.empty(0, dtype=np.int64)
         )
+        # MinHash runs on the RAW codes (h(x) = (ax+b) mod p is a universal
+        # family -- input distribution is irrelevant); SimHash unpacks its
+        # input's BITS as votes, so it gets the splitmix64-mixed view. The
+        # STORED gram_hashes are the raw codes: < 2^(8k), so the checkpoint
+        # column dictionary/bit-packs to a fraction of the mixed values'
+        # size, and every downstream join that ships gram arrays (exact-
+        # Jaccard verify, containment gram-intersect -- the two heaviest
+        # shuffles in the pipeline) ships those smaller bytes too. Jaccard
+        # and containment scores are unchanged: raw codes are already a
+        # collision-FREE encoding of the distinct gram set.
         sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm)
-        sims = _simhash_vector(sizes, flat)
+        sims = _simhash_vector(sizes, _mix64(flat).view(np.int64))
         return pd.DataFrame(
             {
                 "gram_hashes": [g.tolist() for g in grams],

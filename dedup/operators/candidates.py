@@ -64,9 +64,12 @@ def prepare_docs(
     # transform(substr)+xxhash64+array_distinct chain this stage previously
     # ran JVM-side was ~half its wall time at 64k convs, and the gram
     # array now crosses the Python boundary once instead of three times.
-    # gram_hashes values are a BIJECTION of the distinct gram set (mixed
-    # byte-gram codes), so every set-level consumer (exact Jaccard,
-    # containment score, n_grams) is value-identical for ASCII text.
+    # gram_hashes values are raw byte-gram codes -- a collision-free
+    # encoding of the distinct gram set -- so every set-level consumer
+    # (exact Jaccard, containment score, n_grams) is value-identical for
+    # ASCII text, and the bounded-range codes dictionary/bit-pack to a
+    # fraction of hashed values' size in the checkpoint and in every
+    # downstream join that ships gram arrays.
     out = docs.withColumn("norm_text", norm).withColumn(
         "sk", doc_sketch_udf("norm_text", config)
     )
