@@ -260,28 +260,20 @@ def containment_candidates(
         "band_idx", "band_hash", F.col("gsz").alias("group_size")
     )
     ok = groups.filter(F.col("gsz") <= config.containment_max_band_group)
-    # FAMILY COLLAPSE (same move as candidate_pairs): an aligned window
-    # pair -- exactly aligned spans above all -- collides with the same
-    # member list in MANY of the 32 bands; fanning each band group into
-    # pairs shuffles the same rows up to 32x. Collapse on the member list
-    # first, emit each family's pairs once weighted by its band count, and
-    # SUM the weights per pair -- identical band_hits arithmetic, a
-    # fraction of the shuffle volume.
-    fam = ok.groupBy("mem").agg(
-        F.count(F.lit(1)).alias("n_bands"),
-        F.min("gsz").alias("gsz"),
-    )
+    # NO family collapse here, unlike candidate_pairs: window-band groups
+    # are keyed by array<struct> member lists, so the collapse groupBy
+    # falls back to SortAggregate (complex grouping key) over the ~20x
+    # more numerous window groups -- measured at 64k convs / local[16] it
+    # COST 43s against the fan-out volume it saved (window families
+    # repeat across far fewer bands than whole-doc boilerplate families).
     raw = (
-        fam.select(
-            "gsz", "n_bands", F.explode(pair_structs(F.col("mem"))).alias("p")
-        )
+        ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
         .select(
             F.col("p.id_a.id").alias("id_a"),
             F.col("p.id_a.n_grams").alias("na"),
             F.col("p.id_b.id").alias("id_b"),
             F.col("p.id_b.n_grams").alias("nb"),
             "gsz",
-            "n_bands",
         )
         .filter(F.col("id_a") < F.col("id_b"))  # drop same-doc window pairs
     )
@@ -294,7 +286,6 @@ def containment_candidates(
             .otherwise(F.col("id_a"))
             .alias("id_long"),
             "gsz",
-            "n_bands",
         )
         # band-hit counting replaces a plain dedup, but the noise filter is
         # CONDITIONAL on collision-group size: a pair whose best collision
@@ -305,7 +296,7 @@ def containment_candidates(
         # clear containment_min_band_hits.
         .groupBy("id_short", "id_long")
         .agg(
-            F.sum("n_bands").alias("band_hits"),
+            F.count(F.lit(1)).alias("band_hits"),
             F.min("gsz").alias("min_gsz"),
         )
         .filter(
