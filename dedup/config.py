@@ -92,12 +92,40 @@ class DedupConfig:
     containment_min_grams: int = 64    # shorter docs are noise, skip
     containment_threshold: float = 0.9  # |short ∩ long| / |short|
     containment_lcs_ratio: float = 0.8  # LCS-substring / len(short) fallback
+    # Window-sketch LSH geometry -- DELIBERATELY different from the
+    # whole-doc (num_perm=128, 32x4) geometry. The whole-doc bands must
+    # trip at set Jaccard ~0.8; aligned window pairs of a true containment
+    # have GUARANTEED Jaccard >= 0.6 (worst stride misalignment delta=W/4
+    # gives J=(W-delta)/(W+delta)=0.6 on a clean span), so windows can run
+    # r=2 rows/band: per-band collision p=J^r=0.36 at the worst alignment
+    # vs 0.13 under the whole-doc r=4 -- 24 bands of 2 rows give
+    # P(>=2 hits)=0.9997 per single aligned window pair vs 0.938 under
+    # 32x4, at 3/8 the MinHash permutation work (48 perms, not 128 -- the
+    # window sketch UDF was the containment stage's dominant compute) and
+    # 3/4 the band-join shuffle rows. r=2 also degrades more gracefully
+    # for edit-diluted spans: at J=0.45 the expected hits are 4.9 (24x0.2)
+    # vs 1.3 (32x0.041). Background noise rises (random window pairs
+    # collide at j^2 not j^4), which the group-size cap + min-band-hits
+    # filter and the ranked partner caps bound -- but the band COUNT must
+    # stay high enough that planted pairs outrank background at the
+    # partner caps. Measured on the sf0.01 mid-span corpus (planted
+    # middle-component containments at stride-unaligned offsets):
+    #   128/32x4: 12,026 cands, 199,805 cap-dropped background, 0 missing
+    #    48/24x2: 12,692 cands,  60,334 cap-dropped,            0 missing
+    #    32/16x2: 12,467 cands,  35,328 cap-dropped,            4 MISSING
+    #             (16 bands compress band-hit rank separation; planted
+    #              pairs got outranked by background at the partner caps)
+    # 48/24x2 is the knee: every planted pair kept, least background
+    # among the zero-miss geometries, ~2.7x less sketch compute.
+    containment_num_perm: int = 48
+    containment_lsh_bands: int = 24
+    containment_lsh_rows: int = 2
     # minimum distinct window-band collisions for a pair to become a
     # candidate. A true containment aligns window pairs at Jaccard >= ~0.6
-    # (expected ~4 of 32 band hits per aligned window pair, and several
-    # window pairs), while boilerplate background collisions mostly hit
-    # once: 2 cuts the candidate set ~5x on the self-similar synthetic
-    # corpus at the cost of P(>=2 | >=1) ~= 0.94 per single aligned window
+    # (expected ~8.6 of 24 r=2 band hits per aligned window pair, and
+    # several window pairs), while boilerplate background collisions mostly
+    # hit once: 2 cuts the candidate set ~5x on the self-similar synthetic
+    # corpus at the cost of P(>=2 | >=1) ~= 0.9997 per single aligned window
     # in the worst alignment. Exactly-aligned windows (identical spans)
     # always hit all bands, so prefix/suffix containment recall is exact.
     containment_min_band_hits: int = 2
@@ -115,7 +143,7 @@ class DedupConfig:
     containment_noise_group_size: int = 4
     # Window band groups larger than this are per-span boilerplate, dropped
     # WITH accounting (window_band_skew). Much lower than the whole-doc
-    # max_band_group=200: a window group of size g appears in ~all 32 bands
+    # max_band_group=200: a window group of size g appears in ~all 24 bands
     # AND at several overlapping window positions, so its pair fan-out is
     # ~64x a whole-doc group's, and a true containment inside a >=33-doc
     # boilerplate family stays reachable transitively through the family's
@@ -187,6 +215,19 @@ class DedupConfig:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
                 f"must equal num_perm ({self.num_perm})"
+            )
+        if self.containment_lsh_bands * self.containment_lsh_rows != self.containment_num_perm:
+            raise ValueError(
+                f"containment_lsh_bands*containment_lsh_rows "
+                f"({self.containment_lsh_bands}*{self.containment_lsh_rows}) "
+                f"must equal containment_num_perm ({self.containment_num_perm})"
+            )
+        if self.containment_num_perm > self.num_perm:
+            # the window sketch reuses the PREFIX of the whole-doc
+            # permutation table (one deterministic family, one seed)
+            raise ValueError(
+                f"containment_num_perm ({self.containment_num_perm}) must "
+                f"not exceed num_perm ({self.num_perm})"
             )
         if self.containment_window != 2 * self.containment_stride:
             # the containment windower composes each window's MinHash from

@@ -161,12 +161,19 @@ def _minhash_matrix(
 
 
 def minhash_signature_udf(
-    gram_hashes: Column | str, config: DedupConfig = DEFAULT_CONFIG
+    gram_hashes: Column | str,
+    config: DedupConfig = DEFAULT_CONFIG,
+    num_perm: int | None = None,
 ) -> Column:
     """array<bigint> shingle hashes -> array<bigint> MinHash signature of
-    length num_perm (one segment per row; see _minhash_matrix)."""
+    length num_perm (one segment per row; see _minhash_matrix).
+    ``num_perm`` overrides the signature length with a PREFIX of the
+    config's deterministic permutation table (used by the containment
+    window geometry, which needs far fewer permutations -- see
+    DedupConfig.containment_num_perm)."""
     a_params, b_params = config.perm_params()
-    num_perm = config.num_perm
+    num_perm = num_perm or config.num_perm
+    a_params, b_params = a_params[:num_perm], b_params[:num_perm]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(batches: pd.Series) -> pd.Series:
@@ -275,9 +282,15 @@ def block_minhash_text_udf(
     92.6s of the stage's ~200s at 64k convs / local[16]) -- disappears,
     and (b) Arrow ships the ~1x text bytes instead of the 8x positional
     int64 array. The numpy 3-shift gram pack is memory-bandwidth-trivial
-    next to the 128-permutation kernel that follows it."""
+    next to the permutation kernel that follows it.
+
+    Signature length is config.containment_num_perm (a PREFIX of the
+    whole-doc permutation table): aligned window pairs carry Jaccard
+    >= 0.6 by construction, so the window LSH runs a shorter, lower-r
+    geometry than the whole-doc path -- see the DedupConfig block."""
     a_params, b_params = config.perm_params()
-    num_perm = config.num_perm
+    num_perm = config.containment_num_perm
+    a_params, b_params = a_params[:num_perm], b_params[:num_perm]
     k = config.k_shingle
     s = int(stride)
 
@@ -315,7 +328,10 @@ def block_minhash_text_udf(
 
 
 def band_hashes_col(
-    signature: Column | str, config: DedupConfig = DEFAULT_CONFIG
+    signature: Column | str,
+    config: DedupConfig = DEFAULT_CONFIG,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> Column:
     """MinHash signature -> array<bigint> of lsh_bands band hashes, fully
     NATIVE: xxhash64 over (band_idx, the band's r signature values). The
@@ -328,8 +344,12 @@ def band_hashes_col(
     for candidate generation, which was a measured per-stage FIXED cost
     (worker fork + numpy/pandas import across all task threads) that did
     not shrink with cores (VERDICT r4: candidate_pairs flat at 0.28
-    efficiency across 4 vs 16 cores)."""
-    bands, rows = config.lsh_bands, config.lsh_rows
+    efficiency across 4 vs 16 cores).
+
+    ``bands``/``rows`` override the whole-doc (b, r) -- the containment
+    window path passes its own geometry (see containment_lsh_bands)."""
+    bands = bands or config.lsh_bands
+    rows = rows or config.lsh_rows
     c = F.col(signature) if isinstance(signature, str) else signature
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -4,12 +4,18 @@ structurally misses (containment of a short doc in a 5x longer one has set
 Jaccard ~0.2, far below any sensible band threshold) and the deletion-ratio
 length gate explicitly rejects.
 
-Candidate generation: WINDOWED sketches. Long documents additionally emit
-MinHash signatures for sliding windows over their gram sequence; a short
-doc contained in a long one matches some window's signature with high
-Jaccard, so its whole-doc bands collide with the window bands in the same
-equi-join shape as the ordinary LSH path (same band hash function -> the
-join key space is shared).
+Candidate generation: WINDOWED sketches. Every doc emits MinHash
+signatures for sliding windows over its gram sequence (a doc shorter than
+one window emits a single whole-doc window); a short doc contained in a
+long one matches some window of the long doc with high Jaccard, so their
+window bands collide in the same equi-join shape as the ordinary LSH
+path. The window geometry is its own (containment_num_perm=48 perms,
+24 bands x 2 rows -- see DedupConfig): aligned window pairs guarantee
+J >= 0.6, so a shorter low-r sketch beats the whole-doc 128-perm/32x4
+geometry on recall at ~3/8 of the sketch compute and 3/4 of the
+band-shuffle volume, while keeping enough bands that planted pairs
+outrank background at the ranked partner caps (measured: 16 bands lose
+4 planted mid-span pairs to cap outranking, 24 lose none).
 
 Verification ladder (containment-specific):
   1. exact containment score |A ∩ B| / |A| on gram-hash sets (native
@@ -234,9 +240,19 @@ def containment_candidates(
     bands = windows.select(
         "id",
         "n_grams",
-        F.posexplode(band_hashes_col("win_sig", config)).alias(
-            "band_idx", "band_hash"
-        ),
+        # window-specific LSH geometry (24 bands x 2 rows over 48 perms):
+        # aligned window pairs carry J >= 0.6 by construction, so r=2
+        # collides at p=0.36/band -- better worst-alignment recall than
+        # the whole-doc 32x4 at ~3/8 the sketch UDF's permutation work
+        # and 3/4 the band rows shuffled here (see DedupConfig).
+        F.posexplode(
+            band_hashes_col(
+                "win_sig",
+                config,
+                bands=config.containment_lsh_bands,
+                rows=config.containment_lsh_rows,
+            )
+        ).alias("band_idx", "band_hash"),
     )
     # single shuffle: collision groups as sorted (id, n_grams) member lists
     # (a doc may appear twice in one group -- two of its windows colliding

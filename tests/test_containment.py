@@ -78,7 +78,14 @@ def test_block_composed_window_sigs_match_direct_slicing(spark, config):
     direct = pos.select(
         "id",
         F.posexplode(_window_slices(F.col("ph"), w, s)).alias("wi", "wh"),
-    ).select("id", "wi", minhash_signature_udf("wh", cfg).alias("sig"))
+    ).select(
+        "id",
+        "wi",
+        # same 32-perm prefix geometry as the production window sketch
+        minhash_signature_udf("wh", cfg, num_perm=cfg.containment_num_perm).alias(
+            "sig"
+        ),
+    )
     # two-step select like the production plan: a Python-UDF output column
     # cannot be referenced inside a higher-order-function lambda directly
     composed = (

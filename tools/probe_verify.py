@@ -171,7 +171,14 @@ def main():
             "id",
             "n_grams",
             F.posexplode(
-                band_hashes_col(minhash_signature_udf("win_hashes", config), config)
+                band_hashes_col(
+                    minhash_signature_udf(
+                        "win_hashes", config, num_perm=config.containment_num_perm
+                    ),
+                    config,
+                    bands=config.containment_lsh_bands,
+                    rows=config.containment_lsh_rows,
+                )
             ).alias("band_idx", "band_hash"),
         ).localCheckpoint(),
     )
