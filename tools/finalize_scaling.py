@@ -112,6 +112,28 @@ def main():
     if history:
         out["smaller_size_history"] = history
 
+    # executor-topology probe (local-cluster[1,4] vs [4,4] -- real
+    # per-executor JVMs + loopback shuffle): kept as disclosed context for
+    # which stages pay cross-executor serialization on one host
+    cprobe = os.path.join(ROOT, "artifacts", "cluster_mode_probe_64k.json")
+    if os.path.exists(cprobe):
+        with open(cprobe) as fh:
+            cp = json.load(fh)
+        out["cluster_mode_probe"] = {
+            k: cp[k]
+            for k in (
+                "mode", "topology_small", "topology_big", "convs", "repeats",
+                "pipeline_secs_small", "pipeline_secs_big",
+                "scaling_efficiency", "stages",
+            )
+            if k in cp
+        }
+
+    weak = os.path.join(ROOT, "BENCH_WEAK_SCALING.json")
+    if os.path.exists(weak):
+        with open(weak) as fh:
+            out["weak_scaling"] = json.load(fh)
+
     notes = os.path.join(ROOT, "artifacts", "scaling_notes.txt")
     if os.path.exists(notes):
         with open(notes) as fh:
