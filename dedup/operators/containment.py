@@ -234,12 +234,10 @@ def containment_candidates(
     )
     windows = blk.select(
         "id",
-        "n_grams",
         F.posexplode(window_sigs_col("blk_sigs")).alias("win_idx", "win_sig"),
     )
     bands = windows.select(
         "id",
-        "n_grams",
         # window-specific LSH geometry (24 bands x 2 rows over 48 perms):
         # aligned window pairs carry J >= 0.6 by construction, so r=2
         # collides at p=0.36/band -- better worst-alignment recall than
@@ -254,15 +252,21 @@ def containment_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # single shuffle: collision groups as sorted (id, n_grams) member lists
-    # (a doc may appear twice in one group -- two of its windows colliding
-    # on the same band key -- and the fan-out preserves that multiplicity
-    # in band_hits, exactly as the r3 self-join did)
+    # single shuffle: collision groups as sorted id member lists (a doc may
+    # appear twice in one group -- two of its windows colliding on the same
+    # band key -- and the fan-out preserves that multiplicity in band_hits,
+    # exactly as the r3 self-join did). The band rows deliberately carry
+    # ONLY (id, band_idx, band_hash): n_grams is a function of id, so
+    # short/long orientation joins it onto the AGGREGATED pair set below
+    # (~1000x fewer rows at 100k convs: 423k pairs vs 24M band rows)
+    # instead of riding every shuffle row and fattening the collect_list
+    # buffers. Sorting ids sorts identically to sorting (id, n_grams)
+    # structs, so the fan-out's i<j combination multiset is unchanged.
     groups = phase(
         "c_window_sketch_groups",
         lambda: bands.groupBy("band_idx", "band_hash")
         .agg(
-            F.array_sort(F.collect_list(F.struct("id", "n_grams"))).alias("mem")
+            F.array_sort(F.collect_list("id")).alias("mem")
         )
         .withColumn("gsz", F.size("mem"))
         .filter(F.col("gsz") > 1)
@@ -285,32 +289,23 @@ def containment_candidates(
     raw = (
         ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
         .select(
-            F.col("p.id_a.id").alias("id_a"),
-            F.col("p.id_a.n_grams").alias("na"),
-            F.col("p.id_b.id").alias("id_b"),
-            F.col("p.id_b.n_grams").alias("nb"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             "gsz",
         )
         .filter(F.col("id_a") < F.col("id_b"))  # drop same-doc window pairs
     )
-    scored = (
-        raw.select(
-            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("id_short"),
-            F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
-            .otherwise(F.col("id_a"))
-            .alias("id_long"),
-            "gsz",
-        )
+    pair_hits = (
         # band-hit counting replaces a plain dedup, but the noise filter is
         # CONDITIONAL on collision-group size: a pair whose best collision
         # happened in a quiet band group (gsz <= noise_group_size) is kept
         # even with a single hit -- it is cheap to verify and dropping it
         # would silently lose edit-diluted single-window containments. Only
         # pairs that exclusively collide inside big boilerplate groups must
-        # clear containment_min_band_hits.
-        .groupBy("id_short", "id_long")
+        # clear containment_min_band_hits. Aggregating on the unordered
+        # (id_a < id_b) key is a bijection onto (id_short, id_long) groups,
+        # so counting before orientation is arithmetically identical.
+        raw.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("band_hits"),
             F.min("gsz").alias("min_gsz"),
@@ -319,7 +314,26 @@ def containment_candidates(
             (F.col("band_hits") >= config.containment_min_band_hits)
             | (F.col("min_gsz") <= config.containment_noise_group_size)
         )
-        .select("id_short", "id_long", "band_hits")
+    )
+    sizes = docs.select("id", "n_grams")
+    scored = (
+        pair_hits.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb")),
+            "id_b",
+        )
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_short"),
+            F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_long"),
+            "band_hits",
+        )
         .persist()
     )
     scored = phase("c_pair_fanout_hits", lambda: scored, count=True)
