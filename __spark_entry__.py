@@ -80,7 +80,9 @@ def q_exact_groups(spark, sf_dir):
 
 
 def q_ngram_df(spark, sf_dir):
-    d = _norm_docs(spark, sf_dir)
+    # repartition: the scan is one split and the interpreted gram transform
+    # would otherwise run serially in the pre-shuffle stage (r06)
+    d = _norm_docs(spark, sf_dir).repartition(CFG.shuffle_partitions, "doc_id")
     return (
         d.select(F.explode(char_ngrams_col("norm_text", 3)).alias("gram"))
         .groupBy("gram")
@@ -89,7 +91,7 @@ def q_ngram_df(spark, sf_dir):
 
 
 def q_word_idf(spark, sf_dir):
-    d = _norm_docs(spark, sf_dir)
+    d = _norm_docs(spark, sf_dir).repartition(CFG.shuffle_partitions, "doc_id")
     n = d.count()
     return (
         d.select(F.explode(F.array_distinct(words_col("norm_text"))).alias("word"))
@@ -107,8 +109,13 @@ def q_jaccard_topk(spark, sf_dir):
     # shared by query side, truth side, and the idf agg; tracked so the
     # next entry query (or the bench loop) releases it -- an un-released
     # cache here starved later queries in the shared bench session (r2).
+    # repartition first: the parquet scan is ONE split, so the interpreted
+    # gram-transform chain otherwise materializes the whole cache in a
+    # single task (~4s serial at sf0.1; r06).
     d = track_cache(
-        _norm_docs(spark, sf_dir).withColumn("grams", char_ngrams_col("norm_text", 3))
+        _norm_docs(spark, sf_dir)
+        .repartition(CFG.shuffle_partitions, "doc_id")
+        .withColumn("grams", char_ngrams_col("norm_text", 3))
     )
     queries = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("query_id"), "norm_text", "grams"
@@ -143,7 +150,9 @@ def q_jaccard_pruned(spark, sf_dir):
     from dedup.operators.match import jaccard_topk_candidates
 
     d = track_cache(
-        _norm_docs(spark, sf_dir).withColumn("grams", char_ngrams_col("norm_text", 3))
+        _norm_docs(spark, sf_dir)
+        .repartition(CFG.shuffle_partitions, "doc_id")  # see q_jaccard_topk
+        .withColumn("grams", char_ngrams_col("norm_text", 3))
     )
     queries = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("query_id"), "norm_text", "grams"
@@ -392,17 +401,28 @@ def q_containment_pairs(spark, sf_dir):
     first distinct-gram window equals the long doc's first window EXACTLY
     (first-occurrence gram order of a prefix is a prefix of the full doc's),
     so the windowed-LSH band join finds the pair with probability 1, and
-    gram containment is exactly 1.0 (a prefix's gram set is a subset)."""
+    gram containment is exactly 1.0 (a prefix's gram set is a subset).
+
+    r06 perf notes (results identical): ``d`` is repartitioned off the
+    single-split scan and cached (it feeds corpus AND planted -- the
+    normalize chain ran twice, serially, before); the eligibility gram
+    count runs through the vectorized distinct_gram_count_udf, which for
+    this ASCII text equals size(char_ngrams_col(...)) exactly -- the
+    interpreted per-element JVM chain re-evaluated the prefix expression
+    per gram and measured 51s serial per evaluation at sf0.1."""
+    from dedup.functions.sketch import distinct_gram_count_udf
     from dedup.operators.containment import (
         containment_candidates,
         verify_containment,
     )
 
-    d = _norm_docs(spark, sf_dir)
+    d = track_cache(
+        _norm_docs(spark, sf_dir).repartition(CFG.shuffle_partitions, "doc_id")
+    )
     pfx = F.trim(F.substring("norm_text", 1, _PFX_CHARS))
     eligible = d.filter(
         (F.length("norm_text") >= 320)
-        & (F.size(char_ngrams_col(pfx, 3)) >= CONT_CFG.containment_window)
+        & (distinct_gram_count_udf(pfx, 3) >= CONT_CFG.containment_window)
     )
     shorts = eligible.select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
@@ -437,12 +457,18 @@ def q_containment_mid(spark, sf_dir):
     stride-UNALIGNED position. The (b, long) pair must verify with gram
     containment exactly 1.0 (b's text is a verbatim substring, so its
     distinct-gram set is a subset of the long doc's)."""
+    from dedup.functions.sketch import distinct_gram_count_udf
     from dedup.operators.containment import (
         containment_candidates,
         verify_containment,
     )
 
-    d = _norm_docs(spark, sf_dir)
+    # repartition + cache: d feeds three join sides, the corpus union AND
+    # the planted re-derivation; the gram-count filter uses the vectorized
+    # UDF (ASCII-exact -- see q_containment_pairs r06 note).
+    d = track_cache(
+        _norm_docs(spark, sf_dir).repartition(CFG.shuffle_partitions, "doc_id")
+    )
     a = d.select(F.col("doc_id").alias("aid"), F.col("norm_text").alias("ta"))
     b = d.select(F.col("doc_id").alias("bid"), F.col("norm_text").alias("tb"))
     c = d.select(F.col("doc_id").alias("cid"), F.col("norm_text").alias("tc"))
@@ -453,7 +479,7 @@ def q_containment_mid(spark, sf_dir):
             (F.length("tb") >= 150)
             # min_grams gate parity: the pipeline skips shorts with < 64
             # distinct grams, so the planted set excludes them too
-            & (F.size(char_ngrams_col(F.col("tb"), 3)) >= CONT_CFG.containment_min_grams)
+            & (distinct_gram_count_udf(F.col("tb"), 3) >= CONT_CFG.containment_min_grams)
         )
     )
     longs = triples.select(

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 import pyspark.sql.functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG, MERSENNE_PRIME, MAX_HASH
 
@@ -537,6 +537,29 @@ def doc_sketch_udf(
 
     c = F.col(text) if isinstance(text, str) else text
     return _sketch(c)
+
+
+def distinct_gram_count_udf(text: Column | str, k: int) -> Column:
+    """Number of DISTINCT character k-grams of ``text`` as one vectorized
+    Arrow pass (np.unique over byte_kgram_codes). For ASCII text this is
+    value-identical to ``F.size(char_ngrams_col(text, k))`` (bytes == chars
+    and the byte codes are collision-free), at ~1000x less cost: the JVM
+    chain is an INTERPRETED higher-order transform that re-evaluates its
+    captured string expression per element -- measured 10ms/doc for a
+    258-char prefix expression (51s serial over 5000 docs, the dominant
+    cost of both containment entry queries) vs ~10us/doc here."""
+
+    @F.pandas_udf(IntegerType())
+    def _cnt(xs: pd.Series) -> pd.Series:
+        n = len(xs)
+        out = np.zeros(n, dtype=np.int32)
+        for i, s in enumerate(xs):
+            if s is not None:
+                out[i] = len(np.unique(byte_kgram_codes(s, k)))
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _cnt(c)
 
 
 def hamming_col(a: Column | str, b: Column | str) -> Column:
