@@ -212,8 +212,11 @@ def q_dup_clusters(spark, sf_dir):
     pairs = q_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components(pairs, CFG)
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    # cc has one row per DUPLICATED doc (a small fraction of the corpus at
+    # any scale factor): broadcast it so the docs side is never shuffled
+    # just to attach cluster ids (r06; was a sort-merge join)
     return (
-        docs.join(cc, "node", "left")
+        docs.join(F.broadcast(cc), "node", "left")
         .select(
             F.col("node").alias("doc_id"),
             F.coalesce("cluster_id", "node").alias("cluster_id"),

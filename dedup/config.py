@@ -18,6 +18,17 @@ import numpy as np
 MERSENNE_PRIME = np.uint64((1 << 61) - 1)
 MAX_HASH = np.uint64((1 << 61) - 2)
 
+# Version of the SKETCH WIRE FORMAT: what gram_hashes encode (raw byte
+# k-gram codes since r5), which hash family MinHash/SimHash/band hashing
+# use, and the band-postings row shape ((doc_id, band_hash) since r6 --
+# band_idx no longer rides postings; it is already folded into the hash).
+# Folded into config_fingerprint (ADVICE r5 #1): corpus tables persisted
+# by an OLDER format (existing_prepared / corpus_bands in incremental or
+# streaming mode, checkpointed pipeline stages) must never silently join
+# against sketches produced by a newer one -- the joins would simply find
+# nothing. Bump this whenever sketch semantics or postings schema change.
+SKETCH_FORMAT_VERSION = 3
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -211,6 +222,15 @@ class DedupConfig:
     cc_driver_threshold: int = 1_000_000
 
     def __post_init__(self) -> None:
+        if not (1 <= self.k_shingle <= 8):
+            # byte_kgram_codes packs 8*k bits into an int64: k > 8 would
+            # shift the leading bytes out and silently collide distinct
+            # k-grams, breaking the collision-free gram-set invariant that
+            # exact Jaccard and containment scoring rely on (ADVICE r5 #2)
+            raise ValueError(
+                f"k_shingle ({self.k_shingle}) must be in [1, 8]: the gram "
+                "byte-code encoding is only injective up to 8 bytes"
+            )
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
@@ -252,9 +272,14 @@ class DedupConfig:
         return self.minhash_seed ^ 0x5EED
 
     def config_fingerprint(self) -> str:
-        """Stable hash of all semantic knobs; stamped into checkpoint
-        manifests so a resume never silently mixes configs."""
-        payload = repr(sorted(self.__dict__.items())).encode()
+        """Stable hash of all semantic knobs PLUS the sketch wire-format
+        version; stamped into checkpoint manifests so a resume never
+        silently mixes configs, and so tables persisted under an older
+        sketch format (gram encodings, hash families, postings schema)
+        invalidate instead of silently joining empty (ADVICE r5 #1)."""
+        payload = repr(
+            (SKETCH_FORMAT_VERSION, sorted(self.__dict__.items()))
+        ).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
     def with_(self, **kw) -> "DedupConfig":

@@ -7,7 +7,7 @@ Per-batch cost contract (the scale property this module exists for):
   * SKETCH work (normalize/shingle/MinHash/band UDFs) runs over the NEW
     batch only -- O(batch). The existing corpus is touched exclusively
     through its persisted BAND POSTINGS table (``existing_bands``), an
-    append-only narrow (doc_id, band_idx, band_hash) table the caller
+    append-only narrow (doc_id, band_hash) table the caller
     maintains (dedup/streaming.py appends each batch's ``new_bands``).
     Re-deriving postings from ``existing_prepared`` every batch would make
     per-batch cost O(corpus) and continuous dedup degrade linearly -- the
@@ -48,13 +48,17 @@ class IncrementalResult:
     new_prepared: DataFrame       # sketches of the appended conversations
     new_bands: DataFrame          # band postings of the new docs (append to corpus bands)
     verified_pairs: DataFrame     # new-new and new-old verified edges
-    band_skew: DataFrame          # (band_idx, band_hash, group_size) groups dropped by the cap
+    band_skew: DataFrame          # (band_hash, group_size) groups dropped by the cap
 
 
 def _bands(prepared: DataFrame, config: DedupConfig) -> DataFrame:
+    # (doc_id, band_hash) only: the band index is folded into the hash by
+    # band_hashes_col, so carrying it in the PERSISTED corpus postings --
+    # and through every per-batch semi-join -- was a third of the table's
+    # bytes for zero information (r6; SKETCH_FORMAT_VERSION bumped).
     return prepared.select(
         "doc_id",
-        F.posexplode(band_hashes_col("minhash", config)).alias("band_idx", "band_hash"),
+        F.explode(band_hashes_col("minhash", config)).alias("band_hash"),
     )
 
 
@@ -68,7 +72,7 @@ def incremental_dedup(
 ) -> IncrementalResult:
     """Dedup appended conversations against an existing prepared corpus.
 
-    ``existing_bands``: the corpus band-postings table (doc_id, band_idx,
+    ``existing_bands``: the corpus band-postings table (doc_id,
     band_hash). Pass it to get the O(batch) contract; when None, postings
     are re-derived from ``existing_prepared`` (O(corpus) band-UDF work --
     legacy one-shot path only).
@@ -99,25 +103,25 @@ def incremental_dedup(
     )
 
     # 1. prune the corpus postings to band keys the batch actually touches
-    new_keys = new_bands.select("band_idx", "band_hash").dropDuplicates()
+    new_keys = new_bands.select("band_hash").dropDuplicates()
     if broadcast_new:
         new_keys = F.broadcast(new_keys)
-    old_hit = old_bands.join(new_keys, ["band_idx", "band_hash"], "left_semi")
+    old_hit = old_bands.join(new_keys, ["band_hash"], "left_semi")
 
     # 2. boilerplate-band cap on the pruned corpus side, with accounting
     #    (same defense as candidates.py: a hot historical band key must not
     #    blow up |new_in_group| x |old_in_group|).
-    old_sizes = old_hit.groupBy("band_idx", "band_hash").agg(
+    old_sizes = old_hit.groupBy("band_hash").agg(
         F.count(F.lit(1)).alias("group_size")
     )
     band_skew = old_sizes.filter(
         F.col("group_size") > config.max_band_group
-    ).unionByName(nn_res.band_skew.select("band_idx", "band_hash", "group_size"))
+    ).unionByName(nn_res.band_skew.select("band_hash", "group_size"))
     # inner join (not semi): the pair filter below needs group_size to
     # apply the hit-count noise exemption
     old_ok = old_hit.join(
         old_sizes.filter(F.col("group_size") <= config.max_band_group),
-        ["band_idx", "band_hash"],
+        ["band_hash"],
         "inner",
     )
 
@@ -131,15 +135,14 @@ def incremental_dedup(
     # size here counts the OLD side of the pruned postings -- slightly more
     # lenient than the batch path's full-group count, never stricter.
     no = (
-        nb.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+        nb.select("band_hash", F.col("doc_id").alias("id_a"))
         .join(
             old_ok.select(
-                "band_idx",
                 "band_hash",
                 F.col("doc_id").alias("id_b"),
                 F.col("group_size").alias("gsz"),
             ),
-            ["band_idx", "band_hash"],
+            ["band_hash"],
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .select(

@@ -85,7 +85,7 @@ def prepare_docs(
 @dataclass
 class CandidateResult:
     pairs: DataFrame          # (id_a, id_b) canonical, deduped
-    band_skew: DataFrame      # (band_idx, band_hash, group_size) for dropped groups
+    band_skew: DataFrame      # (band_hash, group_size) for dropped groups
 
 
 def pair_structs(ids: Column) -> Column:
@@ -126,11 +126,16 @@ def candidate_pairs(
     drivers (pipeline stages, streaming micro-batches) can unpersist them
     once the pairs have materialized -- otherwise cached band groups
     accumulate across batches."""
+    # band rows carry ONLY (doc_id, band_hash): the band index already
+    # participates in the hash (band_hashes_col hashes (i, slice)), so
+    # grouping by the hash alone forms the identical collision groups --
+    # carrying band_idx through the explode + shuffle + groupBy key was a
+    # third of every band row's bytes for zero information (VERDICT r5
+    # next-round #5; a cross-band 64-bit hash collision could only merge
+    # two groups and ADD candidate pairs, never lose one).
     bands = prepared.select(
         "doc_id",
-        F.posexplode(band_hashes_col("minhash", config)).alias(
-            "band_idx", "band_hash"
-        ),
+        F.explode(band_hashes_col("minhash", config)).alias("band_hash"),
     )
     # Single shuffle: collision groups as sorted id lists. Singleton groups
     # (the vast majority of band keys) can never pair and are dropped
@@ -138,7 +143,7 @@ def candidate_pairs(
     # smaller than the r3 all-postings cache.
     groups = phase(
         "k_band_groups",
-        lambda: bands.groupBy("band_idx", "band_hash")
+        lambda: bands.groupBy("band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .withColumn("gsz", F.size("ids"))
         .filter(F.col("gsz") > 1)
@@ -148,7 +153,7 @@ def candidate_pairs(
     register(groups, tracker)
 
     band_skew = groups.filter(F.col("gsz") > config.max_band_group).select(
-        "band_idx", "band_hash", F.col("gsz").alias("group_size")
+        "band_hash", F.col("gsz").alias("group_size")
     )
     ok = groups.filter(F.col("gsz") <= config.max_band_group)
 
@@ -172,7 +177,16 @@ def candidate_pairs(
     # Cool families (the bulk): pair fan-out is local array math on the
     # sorted id list -- no join, no shuffle, ids already ascending so
     # id_a < id_b holds by construction.
-    cool = fam.filter(F.col("gsz") <= config.salt_hot_threshold)
+    # repartition first: the family agg's output is byte-tiny, so AQE
+    # coalesces it to one or two partitions -- and the interpreted
+    # transform/flatten fan-out (sum gsz^2/2 struct builds) then runs
+    # near-serially in the map side of the pair groupBy (measured: the
+    # candidate job spent ~4s of its 5.5s there at sf0.1). Hash
+    # repartition on the family key spreads the fan-out across the
+    # cluster at the cost of shuffling a few thousand skinny rows.
+    cool = fam.filter(F.col("gsz") <= config.salt_hot_threshold).repartition(
+        config.shuffle_partitions, "ids"
+    )
     cool_pairs = cool.select(
         "gsz", "n_bands", F.explode(pair_structs(F.col("ids"))).alias("p")
     ).select(

@@ -76,7 +76,11 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.toLocalIterator():
+    # collect(), not toLocalIterator(): the caller already proved the edge
+    # set is under cc_driver_threshold (<= ~tens of MB), and toLocalIterator
+    # fetches each of the shuffle's partitions as its own round trip --
+    # measured as a visible fixed cost per CC invocation at bench scale.
+    for row in edges.collect():
         a, b = row["src"], row["dst"]
         if a not in parent:
             parent[a] = a

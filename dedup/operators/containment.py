@@ -150,21 +150,30 @@ def window_sigs_col(blk_sigs: Column | str) -> Column:
     (parity-tested against direct slicing in tests/test_containment.py).
 
     Window count = max(n_blocks - 1, 1) == the sliding-window count
-    ceil((n - w) / s) + 1 floored at 1, for w == 2*s."""
+    ceil((n - w) / s) + 1 floored at 1, for w == 2*s.
+
+    Empty ``blk_sigs`` yields an EMPTY window array (ADVICE r5 #3): the
+    unguarded transform produced one all-null window whose band hashes
+    degenerated to hash(band_idx) -- every empty doc colliding in every
+    band. Unreachable on the production path (containment_min_grams
+    filters empty docs upstream) but the invariant no longer depends on
+    that upstream filter."""
     bs = F.col(blk_sigs) if isinstance(blk_sigs, str) else blk_sigs
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(bs) - 2, F.lit(0))),
-        lambda i: F.when(
-            F.get(bs, i + 1).isNotNull(),
-            F.zip_with(F.get(bs, i), F.get(bs, i + 1), lambda x, y: F.least(x, y)),
-        ).otherwise(F.get(bs, i)),
+    return F.when(F.size(bs) <= 0, F.array().cast("array<array<bigint>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(bs) - 2, F.lit(0))),
+            lambda i: F.when(
+                F.get(bs, i + 1).isNotNull(),
+                F.zip_with(F.get(bs, i), F.get(bs, i + 1), lambda x, y: F.least(x, y)),
+            ).otherwise(F.get(bs, i)),
+        )
     )
 
 
 @dataclass
 class ContainmentCandidates:
     pairs: DataFrame            # (id_short, id_long)
-    window_band_skew: DataFrame  # (band_idx, band_hash, group_size) dropped groups
+    window_band_skew: DataFrame  # (band_hash, group_size) dropped groups
     capped_pairs: DataFrame     # (id_short, id_long, band_hits, reason) dropped by caps
 
 
@@ -243,20 +252,23 @@ def containment_candidates(
         # collides at p=0.36/band -- better worst-alignment recall than
         # the whole-doc 32x4 at ~3/8 the sketch UDF's permutation work
         # and 3/4 the band rows shuffled here (see DedupConfig).
-        F.posexplode(
+        # band_hash only, no band_idx: the index is already hashed into
+        # the band key, so it rode the shuffle for nothing (same trim as
+        # candidate_pairs; VERDICT r5 #5).
+        F.explode(
             band_hashes_col(
                 "win_sig",
                 config,
                 bands=config.containment_lsh_bands,
                 rows=config.containment_lsh_rows,
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_hash"),
     )
     # single shuffle: collision groups as sorted id member lists (a doc may
     # appear twice in one group -- two of its windows colliding on the same
     # band key -- and the fan-out preserves that multiplicity in band_hits,
     # exactly as the r3 self-join did). The band rows deliberately carry
-    # ONLY (id, band_idx, band_hash): n_grams is a function of id, so
+    # ONLY (id, band_hash): n_grams is a function of id, so
     # short/long orientation joins it onto the AGGREGATED pair set below
     # (~1000x fewer rows at 100k convs: 423k pairs vs 24M band rows)
     # instead of riding every shuffle row and fattening the collect_list
@@ -264,7 +276,7 @@ def containment_candidates(
     # structs, so the fan-out's i<j combination multiset is unchanged.
     groups = phase(
         "c_window_sketch_groups",
-        lambda: bands.groupBy("band_idx", "band_hash")
+        lambda: bands.groupBy("band_hash")
         .agg(
             F.array_sort(F.collect_list("id")).alias("mem")
         )
@@ -277,7 +289,7 @@ def containment_candidates(
     window_band_skew = groups.filter(
         F.col("gsz") > config.containment_max_band_group
     ).select(
-        "band_idx", "band_hash", F.col("gsz").alias("group_size")
+        "band_hash", F.col("gsz").alias("group_size")
     )
     ok = groups.filter(F.col("gsz") <= config.containment_max_band_group)
     # NO family collapse here, unlike candidate_pairs: window-band groups
@@ -287,7 +299,13 @@ def containment_candidates(
     # COST 43s against the fan-out volume it saved (window families
     # repeat across far fewer bands than whole-doc boilerplate families).
     raw = (
-        ok.select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
+        # repartition before the fan-out: the cached collision groups sit
+        # in however few partitions AQE coalesced the band groupBy to, and
+        # the interpreted pair_structs explode would otherwise run there
+        # (same fix as candidate_pairs' cool fan-out; band_hash spreads
+        # groups evenly)
+        ok.repartition(config.shuffle_partitions, "band_hash")
+        .select("gsz", F.explode(pair_structs(F.col("mem"))).alias("p"))
         .select(
             F.col("p.id_a").alias("id_a"),
             F.col("p.id_b").alias("id_b"),

@@ -57,7 +57,9 @@ TRANSCRIPT_DDL = (
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 PREPARED_COLS = ["doc_id", "norm_text", "gram_hashes", "minhash", "simhash"]
-BAND_COLS = ["doc_id", "band_idx", "band_hash"]
+# (doc_id, band_hash): band_idx is folded into the hash -- see
+# dedup/incremental.py::_bands and config.SKETCH_FORMAT_VERSION
+BAND_COLS = ["doc_id", "band_hash"]
 
 
 def read_transcript_stream(
