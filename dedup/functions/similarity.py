@@ -101,14 +101,22 @@ def _indel_banded(a: np.ndarray, b: np.ndarray, w: int) -> int:
     return int(prev[lb]) if prev[lb] <= w else w + 1
 
 
-def _indel_bitparallel(a: np.ndarray, b: np.ndarray) -> int:
+def _indel_bitparallel(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> int:
     """Exact indel distance via bit-parallel LCS (Crochemore, Iliopoulos,
     Pinzon & Reid 2001): one big-int add/and/or triple per row of ``a``
     over an |b|-bit vector -- O(|a| * |b|/w) word ops with w = machine-int
     limb width, ~3ms for a 4000x4000 pair regardless of similarity. Used
     when the banded numpy DP's worst case (high-LCS-density pairs defeat
-    its early exit) would be slower. dist = |a| + |b| - 2*LCS."""
-    m = len(b)
+    its early exit) would be slower. dist = |a| + |b| - 2*LCS.
+
+    ``dmax`` enables an exact early exit (r6): after i rows the final LCS
+    can exceed the current LCS by at most the remaining row count, so
+    dist >= |b| - |a| + 2*i - 2*LCS_i; once that bound passes dmax the
+    pair can never come back under it. Checked every 128 rows (one
+    popcount of the |b|-bit vector) -- for the verify tier's dominant
+    population (boilerplate pairs that FAIL the ratio threshold) this
+    exits after a fraction of the rows."""
+    la, m = len(a), len(b)
     pm: dict[int, int] = {}
     bit = 1
     for c in bytes(b):
@@ -116,11 +124,22 @@ def _indel_bitparallel(a: np.ndarray, b: np.ndarray) -> int:
         bit <<= 1
     v = (1 << m) - 1
     full = v
-    for c in bytes(a):
-        u = v & pm.get(c, 0)
-        v = (v + u) | (v - u)
+    if dmax is None:
+        for c in bytes(a):
+            u = v & pm.get(c, 0)
+            v = (v + u) | (v - u)
+    else:
+        i = 0
+        for c in bytes(a):
+            u = v & pm.get(c, 0)
+            v = (v + u) | (v - u)
+            i += 1
+            if not (i & 127):
+                lcs_i = m - (v & full).bit_count()
+                if m - la + 2 * i - 2 * lcs_i > dmax:
+                    return dmax + 1
     lcs = m - (v & full).bit_count()
-    return len(a) + len(b) - 2 * lcs
+    return la + m - 2 * lcs
 
 
 # numpy-DP work estimate above which the bit-parallel kernel wins
@@ -159,7 +178,7 @@ def _indel_distance(a: np.ndarray, b: np.ndarray, dmax: int | None = None) -> in
         return dmax + 1
     width = lb if dmax is None else min(2 * dmax + 1, lb)
     if la * width > _BITPARALLEL_CROSSOVER:
-        d = _indel_bitparallel(a, b)
+        d = _indel_bitparallel(a, b, dmax)
         if dmax is not None and d > dmax:
             return dmax + 1
         return d
@@ -439,13 +458,27 @@ def bigram_gated_staged_ratio_udf(
     two Python UDF passes over ALL docs plus two shuffles of ~2KB/doc to
     save per-pair numpy work measured in microseconds. Counting bigrams
     inside the DP UDF costs O(len) per pair (trivial next to one banded
-    DP row) and deletes both exchanges from the verify plan."""
+    DP row) and deletes both exchanges from the verify plan.
+
+    r6: each of the two DP paths is admission-gated INDEPENDENTLY, per
+    the staged chain's own structure -- the direct DP is skipped when the
+    direct bigram bound already proves ratio <= threshold (previously the
+    staged chain still ran it before falling back), and the token-sort DP
+    is skipped when the token-sorted bigram bound proves the fallback
+    <= threshold (previously every direct-DP miss paid a SECOND full DP
+    over the sorted text -- the dominant verify-stage compute: profiled
+    2.1ms/pair x 57.7k pairs at 101k turns, most failing both paths).
+    VALUES above the threshold are bit-identical to staged_ratio_py (the
+    bounds are exact, no false skips); a skipped path returns a value at
+    or below the threshold, which the callers' ``> threshold`` filter
+    drops either way -- the documented contract of this UDF."""
     thr = config.lev_threshold
     frac = 1.0 - thr / 100.0
 
     @F.pandas_udf(IntegerType())
     def _gated(xs: pd.Series, ys: pd.Series) -> pd.Series:
         out = np.zeros(len(xs), dtype=np.int32)
+        dmax_for = lambda n: int(np.floor(n * frac)) + 1  # noqa: E731
         for i, (a, b) in enumerate(zip(xs.fillna(""), ys.fillna(""))):
             la, lb = len(a), len(b)
             total = la + lb
@@ -454,19 +487,25 @@ def bigram_gated_staged_ratio_udf(
                 continue
             if ((total - abs(la - lb)) / total) * 100 < thr:
                 continue
-            direct_ok = (
+            r = 0
+            if (
                 int(np.abs(_bigram_counts_py(a) - _bigram_counts_py(b)).sum())
                 <= 3.0 * frac * total
-            )
-            if not direct_ok:
-                sa, sb = token_sort_py(a), token_sort_py(b)
-                ts_ok = (
-                    int(np.abs(_bigram_counts_py(sa) - _bigram_counts_py(sb)).sum())
-                    <= 3.0 * frac * (len(sa) + len(sb))
-                )
-                if not ts_ok:
+            ):
+                r = levenshtein_ratio_py(a, b, dmax_for(total))
+                if r > thr:
+                    out[i] = r
                     continue
-            out[i] = staged_ratio_py(a, b, thr)
+            # direct path is <= thr (computed or proven by its bound);
+            # token-sort fallback only if ITS exact bound admits it
+            sa, sb = token_sort_py(a), token_sort_py(b)
+            if (
+                int(np.abs(_bigram_counts_py(sa) - _bigram_counts_py(sb)).sum())
+                <= 3.0 * frac * (len(sa) + len(sb))
+            ):
+                out[i] = levenshtein_ratio_py(sa, sb, dmax_for(len(sa) + len(sb)))
+            else:
+                out[i] = r  # <= thr, as is the provably-gated true fallback
         return pd.Series(out)
 
     cx = F.col(x) if isinstance(x, str) else x

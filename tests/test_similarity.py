@@ -243,3 +243,86 @@ def test_bigram_l1_lower_bounds_indel_distance():
         xs, ys = token_sort_py(x), token_sort_py(y)
         l1s = int(np.abs(bgv(xs) - bgv(ys)).sum())
         assert l1s <= 3 * indel_distance_str(xs, ys), (xs, ys)
+
+
+def test_bitparallel_early_exit_parity():
+    """_indel_bitparallel with dmax must equal the exact distance whenever
+    that distance is <= dmax, and report only dist > dmax otherwise (the
+    r6 popcount early exit is a bound, never an approximation)."""
+    import random
+
+    import numpy as np
+
+    from dedup.functions.similarity import _indel_bitparallel
+
+    rng = random.Random(77)
+    for _ in range(300):
+        n = rng.randint(1, 400)
+        x = "".join(rng.choice("abcdef ") for _ in range(n))
+        # mutate a copy so distances span the dmax boundary
+        y = list(x)
+        for _ in range(rng.randint(0, 30)):
+            op = rng.random()
+            pos = rng.randrange(len(y) + 1) if y else 0
+            if op < 0.5 and y:
+                del y[pos % len(y)]
+            else:
+                y.insert(pos, rng.choice("abcdef "))
+        y = "".join(y)
+        a = np.frombuffer(x.encode(), dtype=np.uint8)
+        b = np.frombuffer(y.encode(), dtype=np.uint8)
+        exact = _indel_bitparallel(a, b)
+        for dmax in (0, 5, exact - 1, exact, exact + 3):
+            if dmax < 0:
+                continue
+            got = _indel_bitparallel(a, b, dmax)
+            if exact <= dmax:
+                assert got == exact, (x, y, dmax)
+            else:
+                assert got > dmax, (x, y, dmax)
+
+
+def test_bigram_gated_udf_above_threshold_parity(spark):
+    """r6 per-path DP admission: for every pair, the gated UDF's value
+    must equal staged_ratio_py whenever EITHER is above the threshold
+    (exact bounds, no false skips); below the threshold both must stay
+    below it (the only contract verify.py's filter relies on)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from dedup.config import DedupConfig
+    from dedup.functions.similarity import (
+        bigram_gated_staged_ratio_udf,
+        staged_ratio_py,
+    )
+
+    cfg = DedupConfig()
+    thr = cfg.lev_threshold
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for _ in range(120):
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(3, 40)))
+        mutated = list(base)
+        for _ in range(rng.randint(0, 8)):
+            pos = rng.randrange(len(mutated) + 1)
+            if rng.random() < 0.5 and mutated:
+                del mutated[pos % len(mutated)]
+            else:
+                mutated.insert(pos, rng.choice("abcdez "))
+        rows.append((base, "".join(mutated)))
+        # token-sort-only duplicates exercise the fallback path
+        toks = base.split()
+        rng.shuffle(toks)
+        rows.append((base, " ".join(toks)))
+    df = spark.createDataFrame(rows, "ta string, tb string")
+    got = df.select(
+        "ta", "tb", bigram_gated_staged_ratio_udf("ta", "tb", cfg).alias("r")
+    ).collect()
+    for row in got:
+        want = staged_ratio_py(row["ta"], row["tb"], thr)
+        if want > thr or row["r"] > thr:
+            assert row["r"] == want, (row["ta"], row["tb"], row["r"], want)
+        else:
+            assert row["r"] <= thr and want <= thr
