@@ -305,8 +305,13 @@ def q_word_count_vectors(spark, sf_dir):
 
 
 def q_knn(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    # repartition: the scan is one split, and the interpreted zip_with dot
+    # products of the broadcast nested-loop join would otherwise run in a
+    # single task (r06)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(CFG.shuffle_partitions, "vec_id")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -511,8 +516,12 @@ def q_srp_near_dups(spark, sf_dir):
     them: every 5th vector gets a shifted-id duplicate -- the SRP join must
     recover exactly those pairs (cosine 1.0), which the oracle enumerates
     directly."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(CFG.shuffle_partitions, "vec_id")  # see q_knn (r06)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1_000_000)

@@ -144,8 +144,11 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     roots = {r for _, r in star}
     rows = star + [(r, r) for r in roots]
     schema_type = edges.schema["src"].dataType.simpleString()
+    # ship back through pandas: createDataFrame(list-of-tuples) pickles
+    # row by row, the pandas path goes through one Arrow batch (r6)
+    pdf = pd.DataFrame(rows, columns=["node", "cluster_id"])
     return spark.createDataFrame(
-        rows, f"node {schema_type}, cluster_id {schema_type}"
+        pdf, f"node {schema_type}, cluster_id {schema_type}"
     )
 
 

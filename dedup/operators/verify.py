@@ -144,28 +144,38 @@ def verify_pairs(
     # on its (mis)estimated size run-to-run (measured 34s vs 178s for the
     # identical stage); a shuffled hash join with the doc side as build is
     # the right plan at every scale and pins it.
+    #
+    # UNION, not a self-left-join (r6): estimate-gate passers attach the
+    # gram arrays and compute exact Jaccard inline; gate failers take
+    # jaccard 0.0 directly. Identical rows to the previous
+    # p1 LEFT JOIN jac ON (id_a, id_b) -- every gate passer found exactly
+    # one jac row (ids come from prepared), every failer coalesced to
+    # 0.0 -- but the union deletes the pair-key shuffle of BOTH join
+    # sides that only existed to glue the two branches back together.
     jac = (
         p1.filter(F.col("est") >= F.lit(gate))
         .join(ga.hint("shuffle_hash"), "id_a")
         .join(gb.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", exact_jaccard_col("gh_a", "gh_b"))
-        .select("id_a", "id_b", "jaccard")
+        .drop("gh_a", "gh_b")
     )
     # ONE checkpoint for the whole sketch-scoring cascade (was two: p1 and
     # scored -- each an eager barrier whose wall cost measured FLAT across
     # 4 vs 16 cores at 64k convs, i.e. pure per-stage floor). The p1
-    # subtree appears twice inside this single job (left side and under
-    # jac); its shuffle exchanges are identical subtrees and reused, so
-    # the duplicated work is only the narrow join probe + gate arithmetic.
+    # subtree appears twice inside this single job (both union branches);
+    # its shuffle exchanges are identical subtrees and reused, so the
+    # duplicated work is only the narrow join probe + gate arithmetic.
     # The checkpoint itself is still required: both output branches
     # (sketch-verified, lev) consume ``scored``, and lazy cache population
     # races between concurrent branch subtrees can recompute the whole
     # cascade per branch.
     scored = phase(
         "v_sketch_scored",
-        lambda: p1.join(jac, ["id_a", "id_b"], "left")
-        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
-        .localCheckpoint(),
+        lambda: jac.unionByName(
+            p1.filter(~(F.col("est") >= F.lit(gate))).withColumn(
+                "jaccard", F.lit(0.0)
+            )
+        ).localCheckpoint(),
     )
     register(scored, tracker)
 
