@@ -327,6 +327,88 @@ def block_minhash_text_udf(
     return _blocks(c)
 
 
+def window_band_hashes_text_udf(
+    text: Column | str, stride: int, config: DedupConfig = DEFAULT_CONFIG
+) -> Column:
+    """Normalized TEXT -> array<bigint>: the containment window path's
+    BAND HASHES, fully fused (r6) -- shingle -> per-block MinHash ->
+    window composition (min of adjacent block signatures; exact for
+    window == 2 * stride) -> per-band splitmix64 chain hash, all inside
+    one numpy batch. Element order: window-major, band-minor
+    (window 0's containment_lsh_bands hashes first).
+
+    Replaces the three-step JVM chain block_minhash_text_udf ->
+    window_sigs_col -> band_hashes_col: the window zip_with(least) and
+    the per-band xxhash64-over-slice both run INTERPRETED per element,
+    and the per-block signatures crossed Arrow only to be reduced to
+    hashes. Collision semantics are what LSH needs -- equal
+    (band index, band rows) => equal hash, distinct inputs collide with
+    ~2^-64 probability (splitmix64 is bijective per mixing step); band
+    hash VALUES change family vs the JVM chain, which is statistically
+    neutral: a true containment's aligned windows are equal element-wise,
+    so they collide in every band under ANY deterministic family, and
+    band-hit counts/ranks of planted pairs are family-independent.
+    Empty texts yield an empty array (no windows -- same invariant as
+    window_sigs_col's empty guard)."""
+    a_params, b_params = config.perm_params()
+    num_perm = config.containment_num_perm
+    a_params, b_params = a_params[:num_perm], b_params[:num_perm]
+    n_bands = config.containment_lsh_bands
+    n_rows = config.containment_lsh_rows
+    k = config.k_shingle
+    s = int(stride)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _wbh(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs: list[np.ndarray] = []
+        seg_sizes: list[int] = []
+        row_nblocks = np.zeros(n, dtype=np.int64)
+        for r_i, v in enumerate(texts):
+            if v is None:
+                continue
+            a = byte_kgram_codes(v, k)
+            if len(a) == 0:
+                continue
+            nb = (len(a) + s - 1) // s
+            row_nblocks[r_i] = nb
+            arrs.append(a)
+            seg_sizes.extend([s] * (nb - 1))
+            seg_sizes.append(len(a) - s * (nb - 1))
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        sizes = np.asarray(seg_sizes, dtype=np.int64)
+        sigs = _minhash_matrix(sizes, flat, a_params, b_params, num_perm).view(
+            np.uint64
+        )
+        # per-band seed: mix of the 1-based band index (so identical rows
+        # in different bands never share a hash)
+        band_seed = _mix64(
+            (np.arange(n_bands, dtype=np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        out: list[list] = []
+        pos = 0
+        for nb in row_nblocks:
+            if nb == 0:
+                out.append([])
+                continue
+            blk = sigs[pos : pos + nb]
+            pos += nb
+            # window w = blocks w, w+1 (single-block doc: the block alone)
+            win = np.minimum(blk[:-1], blk[1:]) if nb > 1 else blk
+            v = win.reshape(win.shape[0], n_bands, n_rows)
+            acc = np.broadcast_to(band_seed, (win.shape[0], n_bands)).copy()
+            for r in range(n_rows):
+                acc = _mix64(acc ^ v[:, :, r])
+            out.append(acc.view(np.int64).ravel().tolist())
+        return pd.Series(out, dtype=object)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _wbh(c)
+
+
 def band_hashes_col(
     signature: Column | str,
     config: DedupConfig = DEFAULT_CONFIG,

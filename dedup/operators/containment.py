@@ -41,7 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig, DEFAULT_CONFIG
-from dedup.functions.sketch import band_hashes_col, block_minhash_text_udf
+from dedup.functions.sketch import window_band_hashes_text_udf
 from dedup.operators.candidates import pair_structs
 from dedup.phasetimer import phase
 from dedup.tracking import register
@@ -228,40 +228,24 @@ def containment_candidates(
         # gated short) can never be the long side either -- skip it
         F.col("n_grams") >= config.containment_min_grams
     )
-    # Per-BLOCK MinHash (non-overlapping stride-gram segments), composed
-    # into per-window signatures JVM-side: with w == 2*s (enforced by
-    # DedupConfig) window i covers exactly blocks i and i+1, and MinHash of
-    # a union is the elementwise min of the parts' MinHashes -- so
-    # zip_with(least) over adjacent block signatures yields BIT-IDENTICAL
-    # window signatures (hence identical band keys and candidates) to
-    # sketching each overlapping window slice directly, at half the UDF
-    # gram work and half the Arrow transfer (see block_minhash_text_udf).
-    blk = docs.select(
+    # Per-BLOCK MinHash (non-overlapping stride-gram segments) composed
+    # into per-window signatures and hashed into band keys ALL inside one
+    # fused UDF (window_band_hashes_text_udf, r6): with w == 2*s (enforced
+    # by DedupConfig) window i covers exactly blocks i and i+1, and
+    # MinHash of a union is the elementwise min of the parts' MinHashes --
+    # so min over adjacent block signatures yields window signatures
+    # identical to sketching each overlapping window slice directly, at
+    # half the UDF gram work; emitting the 24-bands-x-2-rows band hashes
+    # (see DedupConfig for the geometry rationale) directly from numpy
+    # removes the interpreted per-window zip_with(least) + per-band
+    # xxhash64-over-slice chains AND halves the Arrow transfer (24 hashes
+    # per window out vs 48-slot signatures per block). Band rows carry
+    # only (id, band_hash) -- band_idx is folded into the hash (VERDICT
+    # r5 #5).
+    bands = docs.select(
         "id",
-        "n_grams",
-        block_minhash_text_udf("norm_text", s, config).alias("blk_sigs"),
-    )
-    windows = blk.select(
-        "id",
-        F.posexplode(window_sigs_col("blk_sigs")).alias("win_idx", "win_sig"),
-    )
-    bands = windows.select(
-        "id",
-        # window-specific LSH geometry (24 bands x 2 rows over 48 perms):
-        # aligned window pairs carry J >= 0.6 by construction, so r=2
-        # collides at p=0.36/band -- better worst-alignment recall than
-        # the whole-doc 32x4 at ~3/8 the sketch UDF's permutation work
-        # and 3/4 the band rows shuffled here (see DedupConfig).
-        # band_hash only, no band_idx: the index is already hashed into
-        # the band key, so it rode the shuffle for nothing (same trim as
-        # candidate_pairs; VERDICT r5 #5).
         F.explode(
-            band_hashes_col(
-                "win_sig",
-                config,
-                bands=config.containment_lsh_bands,
-                rows=config.containment_lsh_rows,
-            )
+            window_band_hashes_text_udf("norm_text", s, config)
         ).alias("band_hash"),
     )
     # single shuffle: collision groups as sorted id member lists (a doc may

@@ -209,3 +209,81 @@ def test_pipeline_links_containment_cluster(spark, config, tmp_path):
     got = {r["conv_id"]: r["cluster_id"] for r in spark.read.parquet(f"{wh}/clusters").collect()}
     assert got["short"] == got["longer"]
     assert got["other"] != got["short"]
+
+
+def test_fused_window_band_hashes_collision_structure(spark, config):
+    """r6 fused windower: window_band_hashes_text_udf must produce band
+    keys with the SAME collision structure as the reference chain
+    (block sketches -> window_sigs_col -> per-band slices): two windows
+    collide in band b under the fused hash exactly when their band-b
+    signature rows are equal. Hash VALUES differ by family (that is
+    statistically neutral for LSH); the structure is what candidates
+    depend on."""
+    from dedup.functions.sketch import (
+        block_minhash_text_udf,
+        window_band_hashes_text_udf,
+    )
+    from dedup.operators.containment import window_sigs_col
+
+    rng = random.Random(23)
+    cfg = config.with_(containment_window=64, containment_stride=32)
+    s = cfg.containment_stride
+    nb, nr = cfg.containment_lsh_bands, cfg.containment_lsh_rows
+    base = _random_text(rng, 200)
+    texts = [
+        base,                        # identical pair -> all-band collisions
+        base,
+        base[:80],                   # prefix -> shared first window
+        _random_text(rng, 150),      # unrelated
+        _random_text(rng, 20),       # single-block doc
+        "",                          # empty -> no windows
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    ref = (
+        df.select("id", block_minhash_text_udf("t", s, cfg).alias("bs"))
+        .select("id", window_sigs_col("bs").alias("ws"))
+        .select("id", F.posexplode("ws").alias("wi", "sig"))
+        .collect()
+    )
+    fused = {
+        r["id"]: list(r["h"])
+        for r in df.select(
+            "id", window_band_hashes_text_udf("t", s, cfg).alias("h")
+        ).collect()
+    }
+    # index fused hashes as (id, window, band) -> hash
+    fh = {}
+    counts = {}
+    for i, hs in fused.items():
+        assert len(hs) % nb == 0
+        counts[i] = len(hs) // nb
+        for w in range(len(hs) // nb):
+            for b in range(nb):
+                fh[(i, w, b)] = hs[w * nb + b]
+    # same window counts as the reference chain (empty doc -> zero)
+    ref_counts = {}
+    rows = {}
+    for r in ref:
+        ref_counts[r["id"]] = ref_counts.get(r["id"], 0) + 1
+        sig = list(r["sig"])
+        for b in range(nb):
+            rows[(r["id"], r["wi"], b)] = tuple(sig[b * nr : (b + 1) * nr])
+    for i in range(len(texts)):
+        assert counts.get(i, 0) == ref_counts.get(i, 0), i
+    # collision structure: equal band rows <=> equal fused hash
+    keys = sorted(rows)
+    assert keys == sorted(fh)
+    for k1 in keys:
+        for k2 in keys:
+            if k1 >= k2:
+                continue
+            same_rows = rows[k1] == rows[k2] and k1[2] == k2[2]
+            same_hash = fh[k1] == fh[k2]
+            if same_rows:
+                assert same_hash, (k1, k2)
+            elif same_hash:
+                # cross-content or cross-band hash collision: 2^-64 event,
+                # deterministic seed means it would be a real bug here
+                raise AssertionError(f"unexpected hash collision {k1} {k2}")
