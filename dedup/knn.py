@@ -13,8 +13,10 @@ Dot products use native ``F.zip_with`` + ``F.aggregate`` -- no UDF.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from dedup.operators.grouping import grouped_top_k
 
@@ -91,6 +93,48 @@ def srp_bucket_col(vec_col: Column | str, n_planes: int = 16, dim: int = 64, see
     return bucket
 
 
+def srp_buckets_udf(
+    vec_col: Column | str,
+    n_planes: int = 12,
+    dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 13,
+) -> Column:
+    """All n_tables SRP bucket ids per vector in ONE vectorized Arrow pass
+    (array<bigint>, element t = table t's bucket): the whole batch's
+    vectors become one (n, dim) matrix, all tables' hyperplanes one
+    (n_tables * n_planes, dim) matrix, and every sign bit falls out of a
+    single matmul. Replaces the per-table srp_bucket_col chain --
+    n_tables * n_planes INTERPRETED 64-element zip_with/aggregate dot
+    products per row (~2s serial per 2.6k vectors at the entry query) --
+    with ~microseconds per row. Plane matrices and sign convention
+    (strictly > 0) are identical; floating-point summation order differs
+    from the JVM chain, which can flip the sign of a numerically-zero dot
+    product -- statistically neutral for an LSH bucketing (identical
+    vectors still land in identical buckets under any summation order)."""
+    planes = np.stack(
+        [
+            np.random.RandomState(seed + t).normal(size=(n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )  # (T, P, D)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(vs.tolist(), dtype=np.float64)  # (n, D)
+        bits = (m @ flat.T > 0).reshape(n, n_tables, n_planes)
+        buckets = bits @ weights  # (n, T)
+        return pd.Series(list(buckets))
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _buckets(v)
+
+
 def srp_candidate_id_pairs(
     embeddings: DataFrame,
     n_planes: int = 12,
@@ -103,21 +147,15 @@ def srp_candidate_id_pairs(
     """(id_a, id_b) candidate pairs sharing any SRP bucket in any of the
     n_tables bucketings -- IDS ONLY. The fat vector column never enters the
     bucket shuffle: one scan computes all n_tables buckets per vector
-    (explode over a struct array), then the self-join ships 3 small ints
+    (one vectorized matmul UDF, r6), then the self-join ships 3 small ints
     per posting. At 100 TB the vectors are the payload that matters; this
     keeps them out of the O(n_tables) exchange entirely."""
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_bucket_col("v", n_planes, dim, seed + t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    postings = base.select("id", F.explode(tables).alias("tb")).select(
-        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    postings = base.select(
+        "id",
+        F.posexplode(
+            srp_buckets_udf("v", n_planes, dim, n_tables, seed)
+        ).alias("tbl", "bucket"),
     )
     left = postings.select("tbl", "bucket", F.col("id").alias("id_a"))
     right = postings.select("tbl", "bucket", F.col("id").alias("id_b"))
